@@ -1,0 +1,135 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Entity canonicalization (SPEC.md §4; BASELINE.json:6):
+  * MinHash-LSH blocking over dictionary norms (SURVEY J7) → levenshtein
+  * verify → union with same-entity edges → connected components →
+  * cluster representative = min canonical.
+  */
+object Canonicalize {
+
+  val ShingleK = 3
+  val MinHashK = 24
+  val Bands = 12
+
+  /** LSH-blocked candidate alias pairs, verified with levenshtein ≤ 1
+    * (SPEC.md §4). Blocking: 3-gram shingles → 24-hash MinHash → 12
+    * bands × 2 rows → self equi-join on (band, hash) → dedup → verify.
+    * At dictionary scale the join keys are (bandIdx, bandHash) — never
+    * an all-pairs cross product.
+    */
+  def lshEdges(dict: Dataset[DictEntry]): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val banded = dict.select($"norm").distinct()
+      .map { row =>
+        val n = row.getString(0)
+        val sig = Hashing.minhash(Hashing.shingles(n, ShingleK), MinHashK)
+        (n, Hashing.bands(sig, Bands))
+      }.toDF("norm", "bands")
+      .select($"norm", posexplode($"bands").as(Seq("band", "bhash")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bhash" === $"b.bhash" &&
+          $"a.norm" < $"b.norm")
+      .select($"a.norm".as("src"), $"b.norm".as("dst"))
+      .distinct()
+      .filter(levenshtein($"src", $"dst") <= 1)
+  }
+
+  /** Same-entity edges: chain each entity's sorted norms (star to the
+    * minimum norm — enough for connectivity).
+    */
+  def sameEntityEdges(dict: Dataset[DictEntry]): DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.groupBy($"entityId").agg(sort_array(collect_set($"norm")).as("norms"))
+      .select(explode(expr("transform(slice(norms, 2, size(norms)), x -> struct(norms[0] as src, x as dst))")).as("e"))
+      .select($"e.src", $"e.dst")
+  }
+
+  /** Full alias-similarity edge set per SPEC.md §4. */
+  def aliasEdges(dict: Dataset[DictEntry]): DataFrame =
+    lshEdges(dict).unionByName(sameEntityEdges(dict)).distinct()
+
+  /** Connected components by iterative min-label propagation over
+    * DataFrames (SURVEY T6). Deterministic: labels are the node strings
+    * themselves, min is total. `localCheckpoint` each iteration truncates
+    * lineage (SURVEY §4.4(3)). Converges in O(diameter) iterations —
+    * alias clusters have tiny diameter; maxIters guards adversarial
+    * graphs (the alternating large-star/small-star variant is the
+    * documented upgrade path for huge-diameter graphs).
+    *
+    * edges: DataFrame(src: String, dst: String) — undirected.
+    * returns DataFrame(node: String, comp: String) where comp = min node
+    * of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir = edges.select($"src", $"dst")
+      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = bidir.select($"src".as("node")).distinct()
+      .withColumn("comp", $"node")
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate labels: own + min neighbor label
+      val viaNeighbors = bidir.join(labels, bidir("dst") === labels("node"))
+        .select(bidir("src").as("node"), $"comp")
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("l"), Seq("node"))
+        .filter($"n.comp" =!= $"l.comp").limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters iterations")
+    labels
+  }
+
+  /** norm → canonical representative map (CanonicalLink rows):
+    * representative canonical = min canonical within the component.
+    */
+  def linkMap(dict: Dataset[DictEntry]): Dataset[CanonicalLink] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val comps = connectedComponents(aliasEdges(dict))
+    val withCanon = comps.join(dict.select($"norm".as("node"), $"canonical"), Seq("node"))
+    val repOfComp = withCanon.groupBy($"comp").agg(min($"canonical").as("rep"))
+    withCanon.select($"node", $"comp").distinct()
+      .join(repOfComp, Seq("comp"))
+      .select($"node".as("norm"), $"rep".as("canonical"))
+      .as[CanonicalLink]
+  }
+
+  /** Canonicalize scored relations into final triples via two broadcast
+    * joins (SURVEY J1): subj and obj norms → cluster canonical; symbols
+    * outside the dictionary pass through unchanged.
+    */
+  def toTriples(rels: Dataset[ScoredRelation], links: Dataset[CanonicalLink]): Dataset[Triple] = {
+    val spark = rels.sparkSession
+    import spark.implicits._
+    val l = links.toDF()
+    rels.toDF()
+      .join(broadcast(l.select($"norm".as("subjNorm"), $"canonical".as("subjCanon"))),
+        Seq("subjNorm"), "left")
+      .join(broadcast(l.select($"norm".as("objNorm"), $"canonical".as("objCanon"))),
+        Seq("objNorm"), "left")
+      .select(
+        coalesce($"subjCanon", $"subjNorm").as("subj"),
+        $"pred",
+        coalesce($"objCanon", $"objNorm").as("obj"),
+        $"repo", $"path", $"commit",
+        $"fileSha", $"score")
+      .dropDuplicates("subj", "pred", "obj", "repo", "path", "commit", "fileSha")
+      .as[Triple]
+  }
+}

@@ -1,0 +1,50 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage seam (SURVEY §7.3). Production contract is Iceberg
+  * (`kg.corpus`, `kg.triples` partitioned by pred — BASELINE.json:6);
+  * no Iceberg runtime jar exists in this sandbox (SURVEY §0.2), so the
+  * local binding is partitioned parquet honoring the exact same schemas.
+  * Swapping `LocalParquetIO` for an Iceberg-backed implementation is the
+  * only change needed for `spark-submit` clusters.
+  */
+trait TableIO {
+  def readCorpus(spark: SparkSession): Dataset[CodeFile]
+  def writeTriples(triples: DataFrame, mode: SaveMode): Unit
+  def readTriples(spark: SparkSession): DataFrame
+}
+
+object TableIO {
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("repo", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)))
+
+  /** Per-row invariant + routing columns (BASELINE.json:15;
+    * bucket drives manifest-grained resume, SURVEY S5).
+    */
+  def withInvariants(corpus: DataFrame, nBuckets: Int): DataFrame =
+    corpus
+      .withColumn("file_sha", sha2(col("content"), 256))
+      .withColumn("bucket", pmod(xxhash64(col("file_sha")), lit(nBuckets)).cast("int"))
+}
+
+final class LocalParquetIO(corpusDir: String, triplesDir: String) extends TableIO {
+  override def readCorpus(spark: SparkSession): Dataset[CodeFile] = {
+    import spark.implicits._
+    spark.read.schema(TableIO.corpusSchema).parquet(corpusDir).as[CodeFile]
+  }
+  /** Partitioned by (bucket, pred): bucket gives idempotent per-bucket
+    * overwrite on resume; pred matches the production Iceberg layout
+    * (low-cardinality partition column, BASELINE.json:6).
+    */
+  override def writeTriples(triples: DataFrame, mode: SaveMode): Unit =
+    triples.write.mode(mode).partitionBy("bucket", "pred").parquet(triplesDir)
+  override def readTriples(spark: SparkSession): DataFrame =
+    spark.read.parquet(triplesDir)
+}

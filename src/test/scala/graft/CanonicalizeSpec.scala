@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.kg.{Canonicalize, KgPipeline}
+import graft.oracle.Oracle
+import graft.fixtures.Vocab
+
+/** CC + LSH tests (SURVEY §5.2 layer 2: T6/J7 properties). */
+class CanonicalizeSpec extends SparkTestBase {
+
+  test("connectedComponents matches a driver-side union-find oracle") {
+    import spark.implicits._
+    // deterministic random-ish graph: 60 nodes, edges from a fixed seed
+    val rng = new scala.util.Random(7)
+    val nodes = (0 until 60).map(i => f"n$i%02d")
+    val edges = (0 until 80).map { _ =>
+      (nodes(rng.nextInt(nodes.size)), nodes(rng.nextInt(nodes.size)))
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val got = Canonicalize.connectedComponents(df)
+      .as[(String, String)].collect().toMap
+    // oracle: plain union-find
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // min-node representative per component
+    val comps = nodes.filter(n => edges.exists(e => e._1 == n || e._2 == n))
+      .groupBy(find).map { case (_, ms) => ms.min -> ms }.toMap
+    comps.foreach { case (rep, members) =>
+      members.foreach(m => assert(got(m) == rep, s"node $m"))
+    }
+  }
+
+  test("connectedComponents is invariant under input partitioning") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"))
+    val r1 = Canonicalize.connectedComponents(edges.toDF("src", "dst").repartition(1))
+      .as[(String, String)].collect().toSet
+    val r7 = Canonicalize.connectedComponents(edges.toDF("src", "dst").repartition(7))
+      .as[(String, String)].collect().toSet
+    assert(r1 == r7)
+    assert(r1 == Set("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x",
+      "y" -> "x", "p" -> "p", "q" -> "p", "r" -> "p"))
+  }
+
+  test("LSH blocking finds every levenshtein<=1 alias pair (recall on dict)") {
+    import spark.implicits._
+    val dict = KgPipeline.dictDataset(spark)
+    val norms = Vocab.dictRows.map(_._1).distinct
+    val expected = (for {
+      i <- norms.indices; j <- (i + 1) until norms.size
+      if Oracle.levenshtein(norms(i), norms(j)) <= 1
+    } yield (Seq(norms(i), norms(j)).min, Seq(norms(i), norms(j)).max)).toSet
+    val got = Canonicalize.lshEdges(dict).as[(String, String)].collect().toSet
+    // LSH is an approximate BLOCKER; for this vocabulary the 12x2 band
+    // scheme must reach full recall on lev<=1 pairs (they share >70% of
+    // shingles). Precision is enforced by the levenshtein verify.
+    assert(expected.subsetOf(got), s"missed: ${expected -- got}")
+    assert(got == expected)
+  }
+
+  test("engine link map equals oracle canonical map") {
+    import spark.implicits._
+    val dict = KgPipeline.dictDataset(spark)
+    val got = Canonicalize.linkMap(dict).collect()
+      .map(l => l.norm -> l.canonical).toMap
+    val want = Oracle.canonicalMap(Vocab.dictRows)
+    assert(got == want)
+  }
+}
