@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import Tables.t
+
+/** Training-data-pipeline operators: document deduplication (exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) and
+  * approximate-nearest-neighbor search. Gate predicates that decide row
+  * membership are kept integer-exact wherever an oracle exists; float
+  * similarity thresholds are confined to no-oracle queries.
+  */
+object DedupQueries {
+
+  /** Word k-shingles → MinHash bands, as a typed map (doc_id, band, hash). */
+  private def bandedDocs(s: SparkSession, d: String, shingleWords: Int,
+                         k: Int, bands: Int): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val words = text.split(" ")
+        val shingles =
+          if (words.length < shingleWords) Seq(words.mkString(" "))
+          else words.sliding(shingleWords).map(_.mkString(" ")).toSeq
+        val sig = Hashing.minhash(shingles, k)
+        Hashing.bands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
+      }).toDF("doc_id", "band", "bhash")
+  }
+
+  /** cosine over float-array embeddings, computed in double (zip_with +
+    * aggregate — codegen'd higher-order functions, no UDF).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val entries: Map[String, Q] = Map(
+
+    // exact dedup: group by content hash, keep min doc_id
+    "dedup_exact" -> Q.withOracle(
+      """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY sha256(text)""".stripMargin)(
+      (s, d) => t(s, d, "documents")
+        .groupBy(sha2(col("text"), 256).as("sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
+
+    // MinHash+LSH near-dup: shingle → minhash → band → bucket self-join;
+    // output per-doc candidate count (well-defined even when no near-dups
+    // exist). No oracle: minhash is not DuckDB-reproducible.
+    "dedup_minhash_lsh" -> Q.noOracle((s, d) => {
+      val banded = bandedDocs(s, d, shingleWords = 3, k = 24, bands = 12)
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val cnt = pairs.select(col("a_id").as("doc_id"))
+        .unionAll(pairs.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      t(s, d, "documents").select("doc_id").join(cnt, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_candidates"))
+    }),
+
+    // SimHash fingerprint per document (Charikar); near-dup = small
+    // hamming distance, bucketable by 16-bit chunks at scale
+    "dedup_simhash" -> Q.noOracle((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val sh = Hashing.simhash(text.split(" "))
+          (id, sh, (sh >>> 48).toInt, ((sh >>> 32) & 0xffff).toInt)
+        }).toDF("doc_id", "simhash", "band0", "band1")
+    }),
+
+    // n-gram (word-set) Jaccard near-dup with deterministic modulo
+    // blocking; the >=0.5 gate is the INTEGER test 2*|A∩B| >= |A∪B|,
+    // exactly reproducible in DuckDB
+    "dedup_ngram_jaccard" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, doc_id % 101 AS blk,
+        |                  list_distinct(string_split(text, ' ')) AS ws
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       len(list_intersect(a.ws, b.ws)) AS inter,
+        |       len(list_distinct(a.ws || b.ws)) AS uni
+        |FROM w a JOIN w b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.ws, b.ws)) >= len(list_distinct(a.ws || b.ws))""".stripMargin)(
+      (s, d) => {
+        val w = t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 101).as("blk"),
+            array_distinct(split(col("text"), " ")).as("ws"))
+        w.as("a").join(w.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            size(array_intersect(col("a.ws"), col("b.ws"))).as("inter"),
+            size(array_union(col("a.ws"), col("b.ws"))).as("uni"))
+          .filter(lit(2) * col("inter") >= col("uni"))
+      }),
+
+    // embedding-cosine near-dup within label blocks. DuckDB's
+    // list_cosine_similarity over DOUBLE[] folds sequentially exactly
+    // like Spark's zip_with+aggregate, verified bit-exact — so even the
+    // float threshold is oracle-safe.
+    "dedup_embed_cosine" -> Q.withOracle(
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin)(
+      (s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.99)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // brute-force cosine top-k ANN baseline: 5 fixed query vectors
+    // against the full table, top-10 each with total-order tiebreak
+    "simsearch_bruteforce" -> Q.withOracle(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(e.emb, q.qvec) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin)(
+      (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
+    // LSH-bucketed ANN (scale path): 12 deterministic hyperplane sign
+    // bits bucket the corpus; each query searches only its bucket
+    "simsearch_lsh" -> Q.noOracle((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nPlanes = 6
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          // deterministic pseudo-random hyperplanes from mix64
+          def plane(p: Int, dim: Int): Array[Double] =
+            Array.tabulate(dim)(j =>
+              (Hashing.mix64(p.toLong * 1000003L + j).toDouble / Long.MaxValue))
+          var planes: Array[Array[Double]] = null
+          it.map { case (id, emb) =>
+            if (planes == null) planes = Array.tabulate(nPlanes)(plane(_, emb.length))
+            var bucket = 0
+            var p = 0
+            while (p < nPlanes) {
+              var dp = 0.0; var j = 0
+              while (j < emb.length) { dp += planes(p)(j) * emb(j); j += 1 }
+              if (dp >= 0) bucket |= (1 << p)
+              p += 1
+            }
+            (id, bucket, emb)
+          }
+        }.toDF("vec_id", "bucket", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qvec"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("embedding"), col("qvec")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+    })
+  )
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One harness query: the Spark implementation plus (when the semantics
+  * are DuckDB-expressible) the equivalent ANSI SQL oracle the driver runs
+  * over the same parquet tables (SURVEY §3.3, SparkEntry contract).
+  * Column names must match between the two exactly.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def withOracle(sql: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(fn, Some(sql))
+  def noOracle(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
+}
+
+object Tables {
+  /** Read one driver-provided table (TESTDATA.md). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Deterministic synthetic-corpus size for a testdata dir: scale the
+    * KG corpus with the scale factor (sf0.01 → 2,000 files, sf0.1 →
+    * 20,000).
+    */
+  def corpusFiles(sfDir: String): Int = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(60, (sf * 200000).toInt)
+  }
+
+  /** Distributed deterministic corpus: file i is a pure function of i. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = corpusFiles(sfDir)
+    spark.range(n)
+      .mapPartitions(_.map(i => graft.fixtures.CorpusGen.genFile(i.toInt, n)))
+      .toDF()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.FingerprintFunctions
+import Tables.t
+
+/** Training-data-pipeline text operators: language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting, and the multimodal
+  * binary-column plumbing stub. Classification gates are integer-exact so
+  * the DuckDB oracles reproduce them bit-for-bit.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+  private val swList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val entries: Map[String, Q] = Map(
+
+    // language ID: stopword-hit n-gram heuristic; gate is integer
+    // (100*hits > 3*tokens), bit-identical across engines
+    "text_langid" -> Q.withOracle(
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN 100 * len(list_filter(string_split(text, ' '),
+         |                                  w -> w IN ($swList)))
+         |          > 3 * len(string_split(text, ' '))
+         |       THEN 'en' ELSE 'other' END AS pred_lang
+         |FROM documents""".stripMargin)(
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val hits = size(filter(words, w => w.isin(Stopwords: _*)))
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          when(lit(100) * hits > lit(3) * size(words), "en")
+            .otherwise("other").as("pred_lang"))
+      }),
+
+    // quality scoring: integer features + integer rule
+    "text_quality" -> Q.withOracle(
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         |  (length(text) BETWEEN 50 AND 100000
+         |   AND 100 * len(list_filter(string_split(text, ' '), w -> w IN ($swList)))
+         |       >= 2 * len(string_split(text, ' '))) AS quality_ok
+         |FROM documents""".stripMargin)(
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val hits = size(filter(words, w => w.isin(Stopwords: _*)))
+        t(s, d, "documents").select(col("doc_id"),
+          size(words).as("n_tokens"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"),
+          (length(col("text")).between(50, 100000) &&
+            lit(100) * hits >= lit(2) * size(words)).as("quality_ok"))
+      }),
+
+    // token counting: whitespace tokens + BPE-ish regex tokens
+    "text_tokencount" -> Q.withOracle(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin)(
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"), lit(1))).as("n_bpe_tokens"))),
+
+    // document fingerprinting via the native Catalyst expressions
+    // (fingerprint64 = FNV content hash; rolling_min_hash64 = winnowing
+    // rolling hash) — no DuckDB equivalent, covered by unit tests
+    "text_fingerprint" -> Q.noOracle((s, d) => {
+      FingerprintFunctions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+        expr("fingerprint64(text)").as("fp"),
+        expr("rolling_min_hash64(text)").as("winnow"))
+    }),
+
+    // multimodal plumbing stub: treat content as an opaque binary column
+    // and run a batched typed "decode" returning typed metadata. The
+    // decode itself is a deterministic FAKE (no media libs in this
+    // sandbox — clearly-marked stub); the Spark-side plumbing (binary
+    // column, typed mapPartitions batch, fixed output schema) is real.
+    "multimodal_stub" -> Q.withOracle(
+      """SELECT doc_id, strlen(text) % 640 + 1 AS width,
+        |       (strlen(text) // 640) % 480 + 1 AS height,
+        |       strlen(text) AS n_bytes
+        |FROM documents""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, data) =>
+            // STUB decode: deterministic fake dimensions from byte length.
+            // A real deployment plugs an image/audio decoder in here; the
+            // batch shape and schema stay identical.
+            val n = data.length.toLong
+            (id, n % 640 + 1, (n / 640) % 480 + 1, n)
+          }).toDF("doc_id", "width", "height", "n_bytes")
+      })
+  )
+}
