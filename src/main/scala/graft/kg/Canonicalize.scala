@@ -95,13 +95,48 @@ object Canonicalize {
     labels
   }
 
+  /** Edge count up to which connected components run as a driver-local
+    * union-find instead of the iterative distributed loop. The alias
+    * dictionary is broadcast-scale by contract (BASELINE.json:6
+    * "broadcast dictionaries"), so its similarity graph is tiny — paying
+    * ~10 Spark jobs of fixed latency for it would cap the pipeline's
+    * N→4N scaling efficiency. Large graphs still take the distributed
+    * path (property-tested directly).
+    */
+  val SmallGraphEdges = 200000L
+
+  /** Driver-local union-find over a small collected edge list; output
+    * matches connectedComponents (comp = min node string).
+    */
+  def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst").as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "comp")
+  }
+
   /** norm → canonical representative map (CanonicalLink rows):
     * representative canonical = min canonical within the component.
     */
   def linkMap(dict: Dataset[DictEntry]): Dataset[CanonicalLink] = {
     val spark = dict.sparkSession
     import spark.implicits._
-    val comps = connectedComponents(aliasEdges(dict))
+    val edges = aliasEdges(dict).cache()
+    val comps =
+      if (edges.count() <= SmallGraphEdges) localComponents(edges)
+      else connectedComponents(edges)
     val withCanon = comps.join(dict.select($"norm".as("node"), $"canonical"), Seq("node"))
     val repOfComp = withCanon.groupBy($"comp").agg(min($"canonical").as("rep"))
     withCanon.select($"node", $"comp").distinct()
@@ -109,6 +144,14 @@ object Canonicalize {
       .select($"node".as("norm"), $"rep".as("canonical"))
       .as[CanonicalLink]
   }
+
+  /** Collect the (small, broadcast-scale) link map and broadcast it for
+    * flatMap-side canonicalization (Extract.canonicalTriples).
+    */
+  def broadcastLinkMap(spark: SparkSession,
+                       dict: Dataset[DictEntry]): org.apache.spark.broadcast.Broadcast[Map[String, String]] =
+    spark.sparkContext.broadcast(
+      linkMap(dict).collect().map(l => l.norm -> l.canonical).toMap)
 
   /** Canonicalize scored relations into final triples via two broadcast
     * joins (SURVEY J1): subj and obj norms → cluster canonical; symbols
@@ -129,7 +172,10 @@ object Canonicalize {
         coalesce($"objCanon", $"objNorm").as("obj"),
         $"repo", $"path", $"commit",
         $"fileSha", $"score")
-      .dropDuplicates("subj", "pred", "obj", "repo", "path", "commit", "fileSha")
+      // max, not dropDuplicates: duplicate triples may carry different
+      // scores (same call at different distances) — keep it deterministic
+      .groupBy("subj", "pred", "obj", "repo", "path", "commit", "fileSha")
+      .agg(max($"score").as("score"))
       .as[Triple]
   }
 }

@@ -154,6 +154,35 @@ object Extract {
     }
   }
 
+  /** Stages 1–4 fused: corpus → CANONICAL triples in one narrow flatMap.
+    * The norm→canonical link map is broadcast alongside the function
+    * dictionary (BASELINE.json:6 "mapPartitions-backed broadcast
+    * dictionaries"), so canonicalization costs zero extra stages — the
+    * only shuffle left downstream is the global triple dedup. Semantics
+    * identical to Canonicalize.toTriples ∘ scoredRelations (e2e-gated).
+    */
+  def canonicalTriples(ds: Dataset[HashedFile],
+                       fnAliases: Broadcast[Set[String]],
+                       canon: Broadcast[Map[String, String]]): Dataset[Triple] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val dict = fnAliases.value
+      val c = canon.value
+      it.flatMap { f =>
+        relations(f, dict).map { r =>
+          Triple(c.getOrElse(r.subjNorm, r.subjNorm), r.pred,
+            c.getOrElse(r.objNorm, r.objNorm),
+            r.repo, r.path, r.commit, r.fileSha, r.score)
+        }.distinct
+      }
+    }.groupBy("subj", "pred", "obj", "repo", "path", "commit", "fileSha")
+      // max, not dropDuplicates: duplicate triples may carry different
+      // scores (same call at different distances) — keep it deterministic
+      .agg(org.apache.spark.sql.functions.max("score").as("score"))
+      .as[Triple]
+  }
+
   /** Broadcast the function-alias set (SURVEY S3). */
   def broadcastFnAliases(spark: SparkSession, dict: Dataset[DictEntry]): Broadcast[Set[String]] = {
     import spark.implicits._

@@ -61,13 +61,12 @@ object KgPipeline {
       .select("repo", "path", "commit", "lang", "content", "file_sha")
       .as[HashedFile]
 
-    // stages 1–3 fused per file: zero shuffle, content pruned here
+    // stages 1–4 fused per file: mention scan + pair-gen + classify +
+    // broadcast-map canonicalization in ONE narrow flatMap; the global
+    // triple dedup is the only corpus-proportional shuffle before write
     val fnAliases = Extract.broadcastFnAliases(spark, dict)
-    val rels = Extract.scoredRelations(todo, fnAliases)
-
-    // canonicalization (dictionary-side CC is tiny; link map broadcast)
-    val links = Canonicalize.linkMap(dict).cache()
-    val triples = Canonicalize.toTriples(rels, links).toDF()
+    val canonB = Canonicalize.broadcastLinkMap(spark, dict)
+    val triples = Extract.canonicalTriples(todo, fnAliases, canonB).toDF()
       .withColumn("bucket",
         pmod(xxhash64(col("fileSha")), lit(cfg.nBuckets)).cast("int"))
 

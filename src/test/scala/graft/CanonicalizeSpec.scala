@@ -62,6 +62,19 @@ class CanonicalizeSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("localComponents (small-graph fast path) equals distributed CC") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val nodes = (0 until 40).map(i => f"m$i%02d")
+    val edges = (0 until 50).map { _ =>
+      (nodes(rng.nextInt(nodes.size)), nodes(rng.nextInt(nodes.size)))
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val dist = Canonicalize.connectedComponents(df).as[(String, String)].collect().toSet
+    val local = Canonicalize.localComponents(df).as[(String, String)].collect().toSet
+    assert(dist == local)
+  }
+
   test("engine link map equals oracle canonical map") {
     import spark.implicits._
     val dict = KgPipeline.dictDataset(spark)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Unit tests for the custom functions: native fingerprint expressions
+  * (eval + codegen paths agree), xor-digest commutativity, MinHash/
+  * SimHash properties (SURVEY §5.2 layers 1–2).
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  test("fingerprint64 expression: codegen equals reference impl") {
+    import spark.implicits._
+    FingerprintFunctions.register(spark)
+    val rows = Seq("", "a", "hello world", "x" * 1000, "日本語テキスト")
+    val got = rows.toDF("s")
+      .select(col("s"), expr("fingerprint64(s)").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { s =>
+      assert(got(s) == Fingerprint64.fnv(s.getBytes("UTF-8")), s"mismatch for '$s'")
+    }
+  }
+
+  test("rolling_min_hash64: shift-invariant on shared windows") {
+    import spark.implicits._
+    FingerprintFunctions.register(spark)
+    // a long shared block dominates the min over windows → two documents
+    // sharing the block get the same winnow fingerprint iff the global
+    // min window lies inside the block
+    val block = "The quick brown fox jumps over the lazy dog again and again" * 4
+    val d1 = "prefix-one " + block
+    val d2 = "a different head " + block
+    val fps = Seq(d1, d2).toDF("s")
+      .select(expr("rolling_min_hash64(s)")).collect().map(_.getLong(0))
+    val ref = Seq(d1, d2).map(s => RollingMinHash64.rollingMin(s.getBytes("UTF-8")))
+    assert(fps.toSeq == ref)
+    // reference: min over shared windows usually equal (property holds on
+    // this fixture — the block is ~40x the prefix)
+    assert(ref(0) == ref(1), "shared-block winnow fingerprints should match")
+  }
+
+  test("xor digest: commutative, partitioning-invariant, matches fold") {
+    import spark.implicits._
+    val xs = (1L to 1000L).map(i => Hashing.mix64(i))
+    val expected = xs.foldLeft(0L)(_ ^ _)
+    val r1 = xs.toDF("h").repartition(1).agg(XorDigest(col("h"))).first().getLong(0)
+    val r17 = xs.toDF("h").repartition(17).agg(XorDigest(col("h"))).first().getLong(0)
+    assert(r1 == expected && r17 == expected)
+  }
+
+  test("minhash: identical sets → identical sigs; similarity tracks jaccard") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (1 to 100).map(i => s"tok$i")
+    val c = (51 to 150).map(i => s"tok$i") // jaccard 1/3 with a
+    val sa = Hashing.minhash(a, 64); val sb = Hashing.minhash(b, 64)
+    val sc = Hashing.minhash(c, 64)
+    assert(sa.sameElements(sb))
+    val agree = sa.zip(sc).count { case (x, y) => x == y } / 64.0
+    assert(agree > 0.15 && agree < 0.55, s"minhash agreement $agree far from 1/3")
+  }
+
+  test("simhash: near-identical docs → small hamming distance") {
+    val d1 = (1 to 200).map(i => s"w$i")
+    val d2 = (1 to 195).map(i => s"w$i") ++ Seq("x1", "x2", "x3", "x4", "x5")
+    val d3 = (1000 to 1200).map(i => s"w$i")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (h1, h2, h3) = (Hashing.simhash(d1), Hashing.simhash(d2), Hashing.simhash(d3))
+    assert(ham(h1, h2) <= 12, s"near-dup hamming ${ham(h1, h2)}")
+    assert(ham(h1, h3) >= 16, s"unrelated hamming ${ham(h1, h3)}")
+  }
+
+  test("shingles + bands shapes") {
+    assert(Hashing.shingles("abcde", 3) == Seq("abc", "bcd", "cde"))
+    assert(Hashing.shingles("ab", 3) == Seq("ab"))
+    val sig = Hashing.minhash(Seq("a", "b", "c"), 24)
+    assert(Hashing.bands(sig, 12).length == 12)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.{Exchange, BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{SparkPlan, QueryExecution}
+
+/** Physical-plan discipline tests (SURVEY §4.4, §7.4(4)): the 100KB
+  * `content` column must never cross a shuffle; narrow scans must push
+  * filters and prune columns; small-dim joins must broadcast.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("KG plan: content column never crosses a shuffle exchange") {
+    import spark.implicits._
+    val corpus = graft.fixtures.CorpusGen.corpus(60).toDF()
+    val dict = graft.kg.KgPipeline.dictDataset(spark)
+    val hashed = corpus.withColumn("file_sha", sha2(col("content"), 256))
+      .select("repo", "path", "commit", "lang", "content", "file_sha")
+      .as[graft.kg.HashedFile]
+    val rels = graft.kg.Extract.scoredRelations(hashed,
+      graft.kg.Extract.broadcastFnAliases(spark, dict))
+    val triples = graft.kg.Canonicalize.toTriples(rels,
+      graft.kg.Canonicalize.linkMap(dict))
+    triples.count() // finalize AQE plan
+    val shuffles = allNodes(executed(triples.toDF()))
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty, "expected at least the dedup shuffle")
+    shuffles.foreach { ex =>
+      val cols = ex.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("content"),
+        s"content crosses a shuffle: ${cols.mkString(",")}")
+    }
+  }
+
+  test("scan_parquet pushes filter and prunes columns") {
+    val df = SparkEntry.queries("scan_parquet")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PushedFilters") &&
+      (s.contains("GreaterThanOrEqual(n_chars,100)") || s.contains("n_chars")),
+      s"filter not pushed:\n$s")
+    assert(!s.contains("text"), s"text column not pruned from scan:\n$s")
+  }
+
+  test("join_broadcast actually broadcasts the dimension side") {
+    val df = SparkEntry.queries("join_broadcast")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val bc = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: BroadcastExchangeLike => e }
+    assert(bc.nonEmpty, "expected a broadcast exchange")
+  }
+
+  test("entry smoke: flagship produces rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
