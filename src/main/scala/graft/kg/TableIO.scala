@@ -25,11 +25,20 @@ object TableIO {
     StructField("lang", StringType, nullable = false),
     StructField("content", StringType, nullable = false)))
 
-  /** Per-row invariant + routing columns (BASELINE.json:15;
+  /** Max content size admitted into extraction (defensive guard for
+    * binary blobs / pathological files at corpus scale, SURVEY P4).
+    */
+  val MaxContentChars: Int = 4 * 1024 * 1024
+
+  /** P4 guards + per-row invariant + routing columns (BASELINE.json:15;
     * bucket drives manifest-grained resume, SURVEY S5).
     */
   def withInvariants(corpus: DataFrame, nBuckets: Int): DataFrame =
     corpus
+      .filter(col("content").isNotNull && col("repo").isNotNull &&
+        col("path").isNotNull && col("lang").isNotNull &&
+        length(col("content")) > 0 &&
+        length(col("content")) <= MaxContentChars)
       .withColumn("file_sha", sha2(col("content"), 256))
       .withColumn("bucket", pmod(xxhash64(col("file_sha")), lit(nBuckets)).cast("int"))
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.kg._
+import graft.fixtures.CorpusGen
+import graft.streaming.IncrementalIngest
+
+/** Structured Streaming stretch tests (SURVEY §2.9): incremental ingest
+  * equals the batch pipeline; checkpoint resume processes only new files;
+  * watermarked windowed agg equals its batch equivalent (below watermark).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("incremental ingest: two arrivals ≡ one batch run; resume skips old files") {
+    import spark.implicits._
+    val corpusDir = tmp("stream-corpus")
+    val outDir = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+    val all = CorpusGen.corpus(60)
+
+    // arrival 1
+    all.take(30).toDF().write.mode("append").parquet(corpusDir)
+    IncrementalIngest.run(spark, corpusDir, outDir, ckpt)
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0)
+
+    // arrival 2 → only the new files are processed (checkpoint resume)
+    all.drop(30).toDF().write.mode("append").parquet(corpusDir)
+    IncrementalIngest.run(spark, corpusDir, outDir, ckpt)
+
+    val key = Seq("subj", "pred", "obj", "repo", "path", "commit", "fileSha")
+    val streamed = spark.read.parquet(outDir)
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+
+    val dict = KgPipeline.dictDataset(spark)
+    val hashed = TableIO.withInvariants(all.toDF(), 1)
+      .select("repo", "path", "commit", "lang", "content", "file_sha")
+      .as[HashedFile]
+    val batch = Extract.canonicalTriples(hashed,
+        Extract.broadcastFnAliases(spark, dict),
+        Canonicalize.broadcastLinkMap(spark, dict))
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+
+    // third drain with nothing new: no additional rows
+    IncrementalIngest.run(spark, corpusDir, outDir, ckpt)
+    assert(spark.read.parquet(outDir).count() == streamed.size)
+  }
+
+  test("watermarked tumbling window equals batch agg below the watermark") {
+    val eventsDir = "/root/testdata/sf0.001"
+    val outDir = tmp("stream-win")
+    val ckpt = tmp("stream-win-ckpt")
+    // stream only the events table files
+    val evDir = tmp("stream-events")
+    spark.read.parquet(s"$eventsDir/events.parquet")
+      .write.mode("append").parquet(evDir)
+    IncrementalIngest.windowedEventCounts(spark, evDir, outDir, ckpt)
+
+    val ev = spark.read.parquet(evDir)
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cut"))
+    val batch = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"), col("n"))
+      // append mode only emits windows closed by the watermark (max ts - 1h)
+      .crossJoin(broadcast(cutoff))
+      .filter(col("win_end") <= col("cut"))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val streamed = spark.read.parquet(outDir)
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
