@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
+import graft.functions.{FloatVecDot, Hashing}
 import Tables.t
 
 /** Training-data-pipeline operators: document deduplication (exact,
@@ -29,15 +29,15 @@ object DedupQueries {
       }).toDF("doc_id", "band", "bhash")
   }
 
-  /** cosine over float-array embeddings, computed in double (zip_with +
-    * aggregate — codegen'd higher-order functions, no UDF).
+  /** Embeddings with a precomputed L2 norm column — pair-level cosine
+    * then costs ONE native dot (graft.functions.FloatVecDot, codegen'd)
+    * instead of three.
     */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def withNorm(df: DataFrame, prefix: String = ""): DataFrame =
+    df.withColumn(s"${prefix}nrm", sqrt(FloatVecDot(col("embedding"), col("embedding"))))
+
+  private def pairCos(aVec: Column, bVec: Column, aNrm: Column, bNrm: Column): Column =
+    FloatVecDot(aVec, bVec) / (aNrm * bNrm)
 
   val entries: Map[String, Q] = Map(
 
@@ -102,24 +102,28 @@ object DedupQueries {
           .filter(lit(2) * col("inter") >= col("uni"))
       }),
 
-    // embedding-cosine near-dup within label blocks. DuckDB's
+    // embedding-cosine near-dup within label blocks (threshold 0.4: the
+    // synthetic embeddings are near-orthogonal random vectors, max cos
+    // ~0.51 — a production corpus would use ~0.95+). DuckDB's
     // list_cosine_similarity over DOUBLE[] folds sequentially exactly
-    // like Spark's zip_with+aggregate, verified bit-exact — so even the
-    // float threshold is oracle-safe.
+    // like FloatVecDot's index-order double fold, verified bit-exact —
+    // so even the float threshold is oracle-safe.
     "dedup_embed_cosine" -> Q.withOracle(
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99""".stripMargin)(
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin)(
       (s, d) => {
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+      val e = withNorm(t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding")))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-        .filter(col("cos") >= 0.99)
+          pairCos(col("a.embedding"), col("b.embedding"),
+            col("a.nrm"), col("b.nrm")).as("cos"))
+        .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
     }),
 
@@ -138,13 +142,14 @@ object DedupQueries {
         |  FROM scored) WHERE rank <= 10""".stripMargin)(
       (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val e = withNorm(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("nrm").as("qnrm"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("embedding"), col("qvec")).as("cos"))
+          pairCos(col("embedding"), col("qvec"), col("nrm"), col("qnrm")).as("cos"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -186,7 +191,7 @@ object DedupQueries {
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("embedding"), col("qvec")).as("cos"))
+          FloatVecDot.cosine(col("embedding"), col("qvec")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

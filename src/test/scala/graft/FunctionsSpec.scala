@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions._
+import org.apache.spark.sql.functions.col
 
 /** Unit tests for the custom functions: native fingerprint expressions
   * (eval + codegen paths agree), xor-digest commutativity, MinHash/
@@ -37,6 +38,26 @@ class FunctionsSpec extends SparkTestBase {
     // reference: min over shared windows usually equal (property holds on
     // this fixture — the block is ~40x the prefix)
     assert(ref(0) == ref(1), "shared-block winnow fingerprints should match")
+  }
+
+  test("FloatVecDot expression: codegen equals reference fold; cosine bounds") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (2L, Seq(0.5f, -0.5f), Seq(0.5f, 0.5f)),
+      (3L, Seq(1.0f), Seq(1.0f)))
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), FloatVecDot(col("a"), col("b")).as("dot"),
+        FloatVecDot.cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    val want = rows.map { case (id, a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      (id, dot, cos)
+    }.toList
+    assert(got == want)
+    got.foreach { case (_, _, c) => assert(c >= -1.0001 && c <= 1.0001) }
   }
 
   test("xor digest: commutative, partitioning-invariant, matches fold") {
