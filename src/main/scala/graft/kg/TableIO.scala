@@ -43,6 +43,38 @@ object TableIO {
       .withColumn("bucket", pmod(xxhash64(col("file_sha")), lit(nBuckets)).cast("int"))
 }
 
+/** Iceberg binding for `spark-submit` clusters (BASELINE.json:6
+  * "partitioned Iceberg graph tables"). INTERFACE-ONLY in this sandbox:
+  * no `iceberg-spark-runtime` jar exists here (SURVEY §0.2), so the
+  * implementation is the exact call sequence a cluster deployment uses,
+  * guarded by a runtime check for the catalog plugin. The schemas and
+  * partition spec are identical to LocalParquetIO's — swapping bindings
+  * changes no pipeline code.
+  */
+final class IcebergTableIO(catalog: String, corpusTable: String,
+                           triplesTable: String) extends TableIO {
+  private def requireIceberg(spark: SparkSession): Unit =
+    require(spark.conf.getOption(s"spark.sql.catalog.$catalog").isDefined,
+      s"Iceberg catalog '$catalog' is not configured; this sandbox has no " +
+        "iceberg-spark-runtime jar — use LocalParquetIO (same schemas).")
+  override def readCorpus(spark: SparkSession): Dataset[CodeFile] = {
+    requireIceberg(spark)
+    import spark.implicits._
+    spark.read.table(s"$catalog.$corpusTable")
+      .select("repo", "path", "commit", "lang", "content").as[CodeFile]
+  }
+  override def writeTriples(triples: DataFrame, mode: SaveMode): Unit = {
+    requireIceberg(triples.sparkSession)
+    // Iceberg v2: dynamic overwrite of (bucket, pred) partitions
+    val w = triples.writeTo(s"$catalog.$triplesTable")
+    if (mode == SaveMode.Overwrite) w.overwritePartitions() else w.append()
+  }
+  override def readTriples(spark: SparkSession): DataFrame = {
+    requireIceberg(spark)
+    spark.read.table(s"$catalog.$triplesTable")
+  }
+}
+
 final class LocalParquetIO(corpusDir: String, triplesDir: String) extends TableIO {
   override def readCorpus(spark: SparkSession): Dataset[CodeFile] = {
     import spark.implicits._
