@@ -75,6 +75,31 @@ class CanonicalizeSpec extends SparkTestBase {
     assert(dist == local)
   }
 
+  test("star contraction handles a diameter-300 path in few rounds") {
+    import spark.implicits._
+    // a 301-node path: label propagation would need ~300 rounds; the
+    // large/small-star contraction must converge in O(log^2 n)
+    val edges = (0 until 300).map(i => (f"p$i%04d", f"p${i + 1}%04d")).toDF("src", "dst")
+    val got = Canonicalize.connectedComponents(edges, maxIters = 15)
+      .as[(String, String)].collect()
+    assert(got.length == 301)
+    assert(got.forall(_._2 == "p0000"))
+  }
+
+  test("star contraction equals label propagation on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val nodes = (0 until 120).map(i => f"z$i%03d")
+    val edges = (0 until 140).map { _ =>
+      (nodes(rng.nextInt(nodes.size)), nodes(rng.nextInt(nodes.size)))
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val star = Canonicalize.connectedComponents(edges)
+      .as[(String, String)].collect().toSet
+    val prop = Canonicalize.connectedComponentsLabelProp(edges)
+      .as[(String, String)].collect().toSet
+    assert(star == prop)
+  }
+
   test("engine link map equals oracle canonical map") {
     import spark.implicits._
     val dict = KgPipeline.dictDataset(spark)

@@ -52,6 +52,26 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(precision == 1.0 && recall == 1.0, "deterministic spec ⇒ expect exactly 1.0")
   }
 
+  test("golden P/R == 1.0 on the 3000-file small corpus (in-memory DAG)") {
+    import spark.implicits._
+    val n = CorpusGen.SmallFiles
+    val corpus = spark.range(n)
+      .mapPartitions(_.map(i => CorpusGen.genFile(i.toInt, n))).toDF()
+    val dict = KgPipeline.dictDataset(spark)
+    val hashed = TableIO.withInvariants(corpus, 1)
+      .select("repo", "path", "commit", "lang", "content", "file_sha")
+      .as[HashedFile]
+    val got = Extract.canonicalTriples(hashed,
+        Extract.broadcastFnAliases(spark, dict),
+        Canonicalize.broadcastLinkMap(spark, dict))
+      .collect().map(t => Seq(t.subj, t.pred, t.obj, t.repo, t.path, t.commit, t.fileSha))
+      .toSet
+    val want = Oracle.triples(CorpusGen.corpus(n), Vocab.dictRows)
+      .map(t => Seq(t.subj, t.pred, t.obj, t.repo, t.path, t.commit, t.fileSha))
+    assert(got.size == want.size && got == want,
+      s"small-corpus divergence: spurious=${(got -- want).take(2)} missed=${(want -- got).take(2)}")
+  }
+
   test("per-row sha256 invariant holds for 100% of corpus rows") {
     import spark.implicits._
     val hashed = TableIO.withInvariants(corpusDf(CorpusGen.TinyFiles), 16)
