@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable // enable ConstantFolding
   override protected def nullSafeEval(input: Any): Any =
     Fingerprint64.fnv(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -43,6 +44,7 @@ object Fingerprint64 {
 
 case class RollingMinHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable // enable ConstantFolding
   override protected def nullSafeEval(input: Any): Any =
     RollingMinHash64.rollingMin(input.asInstanceOf[UTF8String].getBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

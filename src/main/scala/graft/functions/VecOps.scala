@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
