@@ -158,6 +158,75 @@ object DedupQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // IVF ANN (scale path #2): coarse quantizer = 8 deterministic
+    // centroids (broadcast), every vector assigned to its max-cosine
+    // centroid, queries probe their top-2 centroids' inverted lists,
+    // exact top-10 within the probed lists. Deterministic throughout →
+    // fully oracle-able. (Production upgrade: Lloyd-iterated centroids —
+    // the join/bucket shape is identical.)
+    "simsearch_ivf" -> Q.withOracle(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, emb, cent_id AS cluster FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, cent_id AS cluster FROM (
+        |    SELECT q.query_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cent_id) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.emb, q.qvec) AS cos
+        |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 10""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = withNorm(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm"))
+        val wAsg = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("ccos", pairCos(col("embedding"), col("cvec"), col("nrm"), col("cnrm")))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cent_id").as("cluster"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("nrm").as("qnrm"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("ccos", pairCos(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("query_id"), col("qvec"), col("qnrm"),
+            col("cent_id").as("cluster"))
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        assigned.join(broadcast(probes), Seq("cluster"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            pairCos(col("embedding"), col("qvec"), col("nrm"), col("qnrm")).as("cos"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+      }),
+
     // LSH-bucketed ANN (scale path): 12 deterministic hyperplane sign
     // bits bucket the corpus; each query searches only its bucket
     "simsearch_lsh" -> Q.noOracle((s, d) => {
