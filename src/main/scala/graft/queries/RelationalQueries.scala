@@ -330,6 +330,29 @@ object RelationalQueries {
       (s, d) => t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
         .intersect(t(s, d, "customer").select(col("c_nationkey").as("nationkey")))),
 
+    // O4b: k-of-n vote combiner (the reference's multi-system merge:
+    // union all extractor outputs, keep keys proposed by >= v systems)
+    "setop_vote" -> Q.withOracle(
+      """SELECT okey, CAST(votes AS BIGINT) AS votes FROM (
+        |  SELECT okey, count(*) AS votes FROM (
+        |    SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_discount > 0.05
+        |    UNION ALL
+        |    SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_quantity > 30
+        |    UNION ALL
+        |    SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R')
+        |  GROUP BY okey)
+        |WHERE votes >= 2""".stripMargin)(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def sys(c: org.apache.spark.sql.Column) =
+          li.filter(c).select(col("l_orderkey").as("okey")).distinct()
+        sys(col("l_discount") > 0.05)
+          .unionAll(sys(col("l_quantity") > 30))
+          .unionAll(sys(col("l_returnflag") === "R"))
+          .groupBy("okey").agg(count(lit(1)).as("votes"))
+          .filter(col("votes") >= 2)
+      }),
+
     // O5: except (regression diff)
     "setop_except" -> Q.withOracle(
       """SELECT p_partkey FROM part WHERE p_size >= 40
