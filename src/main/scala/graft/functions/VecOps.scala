@@ -32,7 +32,13 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
 object FloatVecDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail loudly on corrupt data: DuckDB's list_cosine_similarity errors
+    // on mismatched lengths too — silently truncating would return a
+    // plausible but wrong similarity
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"FloatVecDot: vector length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

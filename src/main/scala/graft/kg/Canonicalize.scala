@@ -100,20 +100,25 @@ object Canonicalize {
         .distinct()
     }
 
+    // canonical-pair content digest + count: cheap fixpoint detection
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(least(src, dst), greatest(src, dst)))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var cur = edges.select($"src", $"dst").where($"src" =!= $"dst")
       .distinct().localCheckpoint()
+    // carry the signature forward: ONE aggregation action per round,
+    // not two (the previous round's sig(next) is this round's sig(cur))
+    var curSig = sig(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      // canonical-pair content digest + count: cheap fixpoint detection
-      def sig(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(least(src, dst), greatest(src, dst)))")).first()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      converged = sig(next) == sig(cur)
+      val nextSig = sig(next)
+      converged = nextSig == curSig
       cur = next
+      curSig = nextSig
       iter += 1
     }
     require(converged, s"star-contraction CC did not converge in $maxIters rounds")
@@ -196,9 +201,17 @@ object Canonicalize {
     val spark = dict.sparkSession
     import spark.implicits._
     val edges = aliasEdges(dict).cache()
-    val comps =
+    val edgeComps =
       if (edges.count() <= SmallGraphEdges) localComponents(edges)
       else connectedComponents(edges)
+    // Seed the component set with EVERY dict norm: a single-alias entity
+    // produces no edges (sameEntityEdges needs >=2 norms, lshEdges needs a
+    // lev<=1 partner), yet SPEC.md §4 / Oracle.canonicalMap still map it to
+    // its own canonical — which may differ from the norm itself. Without
+    // the seed, canon(norm) would fall back to the raw norm.
+    val comps = dict.select($"norm".as("node")).distinct()
+      .join(edgeComps, Seq("node"), "left")
+      .select($"node", coalesce($"comp", $"node").as("comp"))
     val withCanon = comps.join(dict.select($"norm".as("node"), $"canonical"), Seq("node"))
     val repOfComp = withCanon.groupBy($"comp").agg(min($"canonical").as("rep"))
     withCanon.select($"node", $"comp").distinct()

@@ -44,7 +44,11 @@ object Manifest {
   def committedBuckets(spark: SparkSession, manifestDir: String,
                        runId: String, stage: String): DataFrame = {
     val empty = spark.range(0).select(col("id").cast("int").as("bucket"))
-    if (!new java.io.File(manifestDir).exists()) empty
+    // Hadoop FileSystem, not java.io.File: the manifest dir may live on
+    // any supported filesystem (HDFS/S3A/local) in production
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
     else spark.read.parquet(manifestDir)
       .filter(col("runId") === runId && col("stage") === stage &&
         col("status") === "committed")

@@ -108,4 +108,44 @@ class CanonicalizeSpec extends SparkTestBase {
     val want = Oracle.canonicalMap(Vocab.dictRows)
     assert(got == want)
   }
+
+  test("singleton-alias entity maps to its canonical, not its raw norm") {
+    import spark.implicits._
+    // an entity with ONE alias whose norm differs from the canonical:
+    // no same-entity edge (needs >=2 norms), no LSH edge (no lev<=1
+    // partner) — SPEC.md §4 still requires canon(norm) = entity canonical
+    val rows: Seq[(String, Long, String, String)] = Seq(
+      ("solitary", 900L, "solitarylib", "module"),       // singleton, norm != canonical
+      ("alphafn", 901L, "alphafn", "function"),           // pair cluster
+      ("alphaf", 901L, "alphafn", "function"))
+    val dict = rows.map { case (n, id, c, k) =>
+      graft.kg.DictEntry(n, id, c, k) }.toDS()
+    val got = Canonicalize.linkMap(dict).collect()
+      .map(l => l.norm -> l.canonical).toMap
+    assert(got("solitary") == "solitarylib")
+    assert(got("alphafn") == "alphafn" && got("alphaf") == "alphafn")
+    // and it matches the independent oracle on the same dict
+    assert(got == Oracle.canonicalMap(rows))
+  }
+
+  test("distributed CC: two 100k-node components bridged by one edge") {
+    import spark.implicits._
+    // adversarial shape above the SmallGraphEdges driver-local threshold:
+    // two long paths (worst-case diameter) plus a single bridge — the
+    // contraction must produce exactly one component in O(log^2 n) rounds
+    val n = 100001
+    val e1 = spark.range(n - 1)
+      .select(format_string("a%06d", $"id").as("src"),
+        format_string("a%06d", $"id" + 1).as("dst"))
+    val e2 = spark.range(n - 1)
+      .select(format_string("b%06d", $"id").as("src"),
+        format_string("b%06d", $"id" + 1).as("dst"))
+    val bridge = Seq((f"a${n - 1}%06d", "b000000")).toDF("src", "dst")
+    val edges = e1.unionAll(e2).unionAll(bridge)
+    assert(edges.count() > Canonicalize.SmallGraphEdges)
+    val comps = Canonicalize.connectedComponents(edges, maxIters = 25)
+    val reps = comps.select($"comp").distinct().as[String].collect()
+    assert(reps.toSeq == Seq("a000000"))
+    assert(comps.count() == 2L * n)
+  }
 }

@@ -60,6 +60,17 @@ class FunctionsSpec extends SparkTestBase {
     got.foreach { case (_, _, c) => assert(c >= -1.0001 && c <= 1.0001) }
   }
 
+  test("FloatVecDot fails loudly on mismatched vector lengths") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(FloatVecDot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("length mismatch")))
+  }
+
   test("xor digest: commutative, partitioning-invariant, matches fold") {
     import spark.implicits._
     val xs = (1L to 1000L).map(i => Hashing.mix64(i))
