@@ -61,11 +61,26 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
 
     // ---- part 1: operator suite ----
+    // two passes, min-of-2 per key: the first pass pays JIT/page-cache
+    // warmup, the min filters it out. Failures are recorded per key (a
+    // throwing query must NOT masquerade as a fast timing).
     val suiteSpark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(): Seq[(String, (Double, Boolean))] = keys.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(suiteSpark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(suiteSpark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val pass1 = onePass().toMap
+    val pass2 = onePass().toMap
+    val results = keys.map { case (name, _) =>
+      val (tA, okA) = pass1(name)
+      val (tB, okB) = pass2(name)
+      val ok = okA && okB
+      // failed keys get a -1 sentinel in the flat map (never a plausible time)
+      name -> (if (ok) math.min(tA, tB) else -1.0, ok)
     }
 
     // ---- part 2: KG throughput scaling (N=4 vs 4N=16 cores) ----
@@ -125,44 +140,63 @@ object Bench {
     bestTime(16, 2) // JIT/page-cache warmup, discarded
     // The sandbox shows multi-minute steal-time windows that can inflate
     // one config's wall time 2×. Estimator: measure (t16, t4, c16, c4)
-    // within each round, compute per-round efficiencies, and report the
-    // best round — the one least corrupted by exogenous noise (on quiet
-    // hardware all rounds agree). Global mins are also tracked for the
-    // throughput headline.
+    // within each round and report the MEDIAN per-round raw efficiency —
+    // an unbiased location estimate (max-of-rounds is upward-biased on
+    // noisy ratios and could pass the 0.8 gate on noise alone). Every
+    // round's tuple is emitted so the distribution itself is judgeable.
+    // The hardware-ceiling calibration (what 4→16 threads is WORTH on
+    // this clock-boosting SMT host) is reported as CONTEXT only — no
+    // capped "normalized" headline.
     var nTriples = 0L
     var t16 = Double.MaxValue
     var t4 = Double.MaxValue
-    var bestEff = 0.0
-    var bestNorm = 0.0
-    var bestCeil = 0.0
-    for (_ <- 1 to 4) {
+    case class Round(t4: Double, t16: Double, c4: Double, c16: Double) {
+      def eff: Double = (t4 / t16) / 4.0
+      def ceil: Double = (c4 / c16) / 4.0
+    }
+    val rounds = (1 to 4).map { _ =>
       val (n1, a) = bestTime(16, 2); nTriples = n1
       val (_, b) = bestTime(4, 2)
       val c16r = calibTime(16, 2)
       val c4r = calibTime(4, 2)
       t16 = math.min(t16, a); t4 = math.min(t4, b)
-      val effR = (b / a) / 4.0
-      val ceilR = (c4r / c16r) / 4.0
-      if (effR > bestEff) bestEff = effR
-      val normR = math.min(1.0, effR / ceilR)
-      if (normR > bestNorm) { bestNorm = normR; bestCeil = ceilR }
+      Round(b, a, c4r, c16r)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val thr16 = nTriples / t16
     val thr4 = nTriples / t4
-    val eff = bestEff
-    val ceiling = bestCeil
+    val effMedian = median(rounds.map(_.eff))
+    val ceilMedian = median(rounds.map(_.ceil))
 
     // ---- emit one JSON line ----
+    def f(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val extra = Seq(
       "kg_bench_files" -> nFiles.toDouble, "kg_bench_triples" -> nTriples.toDouble,
       "kg_sec_at_n4" -> t4, "kg_sec_at_n16" -> t16,
       "kg_thr_at_n4" -> thr4, "kg_thr_at_n16" -> thr16,
-      "kg_scaling_efficiency" -> eff,
-      "hw_ceiling_efficiency" -> ceiling,
-      "kg_scaling_efficiency_normalized" -> bestNorm)
-    val qs = (results ++ extra).map { case (k, v) => "\"" + k + "\":" + v }
+      "kg_scaling_efficiency" -> effMedian,
+      "kg_scaling_efficiency_min" -> rounds.map(_.eff).min,
+      "kg_scaling_efficiency_max" -> rounds.map(_.eff).max,
+      "hw_ceiling_efficiency_median" -> ceilMedian)
+    val qs = (results.map { case (k, (t, _)) => k -> t } ++ extra)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, (t, ok)) =>
+      "\"" + k + "\":{\"time\":" + f(t) + ",\"ok\":" + ok + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val roundsJson = rounds.map(r =>
+      s"""{"t4":${f(r.t4)},"t16":${f(r.t16)},"c4":${f(r.c4)},"c16":${f(r.c16)},""" +
+        s""""eff":${f(r.eff)},"ceil":${f(r.ceil)}}""").mkString("[", ",", "]")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""queries":$qs,"queries_detail":$detail,"failed_queries":$failed,""" +
+      s""""scaling_rounds":$roundsJson,"sf":"$sfDir"}""")
   }
 }
