@@ -17,9 +17,10 @@ object Canonicalize {
 
   /** LSH-blocked candidate alias pairs, verified with levenshtein ≤ 1
     * (SPEC.md §4). Blocking: 3-gram shingles → 24-hash MinHash → 12
-    * bands × 2 rows → self equi-join on (band, hash) → dedup → verify.
+    * bands × 2 rows → capped self equi-join on (band, hash) → verify.
     * At dictionary scale the join keys are (bandIdx, bandHash) — never
-    * an all-pairs cross product.
+    * an all-pairs cross product; Lsh.DictBucketCap bounds a degenerate
+    * hot bucket (chain fallback keeps the bucket connected).
     */
   def lshEdges(dict: Dataset[DictEntry]): DataFrame = {
     val spark = dict.sparkSession
@@ -31,11 +32,8 @@ object Canonicalize {
         (n, Hashing.bands(sig, Bands))
       }.toDF("norm", "bands")
       .select($"norm", posexplode($"bands").as(Seq("band", "bhash")))
-    banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bhash" === $"b.bhash" &&
-          $"a.norm" < $"b.norm")
-      .select($"a.norm".as("src"), $"b.norm".as("dst"))
-      .distinct()
+    Lsh.cappedSelfJoinPairs(banded, Seq("band", "bhash"), "norm", Lsh.DictBucketCap)
+      .select($"a_norm".as("src"), $"b_norm".as("dst"))
       .filter(levenshtein($"src", $"dst") <= 1)
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{FloatVecDot, Hashing}
+import graft.kg.Lsh
 import Tables.t
 
 /** Training-data-pipeline operators: document deduplication (exact,
@@ -39,6 +40,57 @@ object DedupQueries {
   private def pairCos(aVec: Column, bVec: Column, aNrm: Column, bNrm: Column): Column =
     FloatVecDot(aVec, bVec) / (aNrm * bNrm)
 
+  /** Hot-block cap for the exact-Jaccard blocking join (mirrored in the
+    * DuckDB oracle SQL — keep both in sync).
+    */
+  val JaccardBlockCap = 64
+
+  /** Exact word-set Jaccard>=0.5 pairs under content-derived blocking +
+    * hot-block cap (shared by the oracled query and the recall spec).
+    */
+  def jaccardPairs(docs: DataFrame, cap: Int): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+    val band = expr("size(ws) div 8").cast("string")
+    val keyed = w.select(col("doc_id"), col("ws"), explode(array(
+      concat(element_at(col("ws"), 1), lit("|"), band),
+      concat(element_at(col("ws"), -1), lit("#"), band))).as("key"))
+    Lsh.cappedSelfJoinPairs(keyed, Seq("key"), "doc_id", cap, carryCols = Seq("ws"))
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        size(array_intersect(col("a_ws"), col("b_ws"))).as("inter"),
+        size(array_union(col("a_ws"), col("b_ws"))).as("uni"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+  }
+
+  /** 32-bit SQL-expressible SimHash (sha256-derived token hashes, so
+    * DuckDB reproduces it bit-for-bit): fingerprint bit b is the sign of
+    * Σ_tokens (2·h_b − 1). Returns (doc_id, fp).
+    */
+  private def simhash32(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(sha2(col("w"), 256), 1, 8), 16, 10).cast("long").as("h"))
+    val sums = (0 until 32).map(b =>
+      sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"s$b"))
+    val fpExpr = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
+  }
+
+  private def simhash32Sql: String = {
+    val bits = (0 until 32)
+      .map(b => s"(CASE WHEN sum(2*((h>>$b)&1)-1) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |        FROM documents)),
+      |fp AS (SELECT doc_id, $bits AS fp FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
   val entries: Map[String, Q] = Map(
 
     // exact dedup: group by content hash, keep min doc_id
@@ -49,16 +101,16 @@ object DedupQueries {
         .groupBy(sha2(col("text"), 256).as("sha"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
-    // MinHash+LSH near-dup: shingle → minhash → band → bucket self-join;
-    // output per-doc candidate count (well-defined even when no near-dups
+    // MinHash+LSH near-dup: shingle → minhash → band → CAPPED bucket
+    // self-join (graft.kg.Lsh — a hot boilerplate cluster degrades to a
+    // connectivity-preserving chain instead of going quadratic); output
+    // per-doc candidate count (well-defined even when no near-dups
     // exist). No oracle: minhash is not DuckDB-reproducible.
     "dedup_minhash_lsh" -> Q.noOracle((s, d) => {
       val banded = bandedDocs(s, d, shingleWords = 3, k = 24, bands = 12)
-      val pairs = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      val pairs = Lsh.cappedSelfJoinPairs(
+          banded, Seq("band", "bhash"), "doc_id", Lsh.DocBucketCap)
+        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
       val cnt = pairs.select(col("a_id").as("doc_id"))
         .unionAll(pairs.select(col("b_id").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -78,28 +130,62 @@ object DedupQueries {
         }).toDF("doc_id", "simhash", "band0", "band1")
     }),
 
-    // n-gram (word-set) Jaccard near-dup with deterministic modulo
-    // blocking; the >=0.5 gate is the INTEGER test 2*|A∩B| >= |A∪B|,
-    // exactly reproducible in DuckDB
+    // n-gram (word-set) Jaccard near-dup with CONTENT-DERIVED blocking:
+    // a doc lands in two blocks, (min sorted-set word, set-size band) and
+    // (max word, band) — near-dup word sets almost always share the set
+    // minimum or maximum plus the size band (recall property-tested
+    // against brute force on a planted-cluster fixture). Hot blocks are
+    // capped via the same deterministic chain rule as graft.kg.Lsh,
+    // reproduced verbatim in the DuckDB oracle. The >=0.5 gate is the
+    // INTEGER test 2*|A∩B| >= |A∪B|.
     "dedup_ngram_jaccard" -> Q.withOracle(
-      """WITH w AS (SELECT doc_id, doc_id % 101 AS blk,
-        |                  list_distinct(string_split(text, ' ')) AS ws
-        |           FROM documents)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |       len(list_intersect(a.ws, b.ws)) AS inter,
-        |       len(list_distinct(a.ws || b.ws)) AS uni
-        |FROM w a JOIN w b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE 2 * len(list_intersect(a.ws, b.ws)) >= len(list_distinct(a.ws || b.ws))""".stripMargin)(
+      s"""WITH w AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |           FROM documents),
+        |k AS (SELECT doc_id, ws, unnest([
+        |        ws[1] || '|' || CAST(len(ws) // 8 AS VARCHAR),
+        |        ws[-1] || '#' || CAST(len(ws) // 8 AS VARCHAR)]) AS key FROM w),
+        |r AS (SELECT doc_id, ws, key,
+        |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY key) AS n FROM k),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                a.ws AS aws, b.ws AS bws
+        |  FROM r a JOIN r b ON a.key = b.key AND
+        |    ((a.n <= $JaccardBlockCap AND a.doc_id < b.doc_id) OR
+        |     (a.n > $JaccardBlockCap AND b.rn = a.rn + 1)))
+        |SELECT a_id, b_id, len(list_intersect(aws, bws)) AS inter,
+        |       len(list_distinct(aws || bws)) AS uni
+        |FROM cand
+        |WHERE 2 * len(list_intersect(aws, bws)) >= len(list_distinct(aws || bws))""".stripMargin)(
+      (s, d) => jaccardPairs(t(s, d, "documents"), JaccardBlockCap)),
+
+    // SimHash candidate-pair + verify stage, fully oracled: a 32-bit
+    // sha256-derived simhash (bit-identical in DuckDB), 4 bands × 8 bits
+    // — pigeonhole guarantees every hamming<=3 pair collides in at least
+    // one band — then the exact verify bit_count(xor(fa, fb)) <= 3.
+    "dedup_simhash_pairs" -> Q.withOracle(
+      s"""$simhash32Sql,
+        |banded AS (
+        |  SELECT doc_id, fp, b, (fp >> (8*b)) & 255 AS bh
+        |  FROM fp, (SELECT unnest([0,1,2,3]) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
+        |  FROM banded a JOIN banded b
+        |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, bit_count(xor(fa, fb)) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin)(
       (s, d) => {
-        val w = t(s, d, "documents")
-          .select(col("doc_id"), (col("doc_id") % 101).as("blk"),
-            array_distinct(split(col("text"), " ")).as("ws"))
-        w.as("a").join(w.as("b"),
-            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        val fp = simhash32(t(s, d, "documents"))
+        val banded = fp.select(col("doc_id"), col("fp"),
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bh", expr("shiftright(fp, 8*b) & 255"))
+        banded.as("a").join(banded.as("b"),
+            col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            size(array_intersect(col("a.ws"), col("b.ws"))).as("inter"),
-            size(array_union(col("a.ws"), col("b.ws"))).as("uni"))
-          .filter(lit(2) * col("inter") >= col("uni"))
+            col("a.fp").as("fa"), col("b.fp").as("fb"))
+          .distinct()
+          .filter(expr("bit_count(fa ^ fb) <= 3"))
+          .select(col("a_id"), col("b_id"), expr("bit_count(fa ^ fb)").as("hamming"))
       }),
 
     // embedding-cosine near-dup within label blocks (threshold 0.4: the
@@ -256,8 +342,14 @@ object DedupQueries {
         }.toDF("vec_id", "bucket", "embedding")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qvec"))
+      // probe-list cap: a hot bucket contributes at most AnnBucketCap
+      // members per query (deterministic by vec_id) — bounds per-query
+      // scan cost at corpus scale
+      val wCap = Window.partitionBy("bucket").orderBy("vec_id")
+      val eCapped = e.withColumn("mrn", row_number().over(wCap))
+        .filter(col("mrn") <= Lsh.AnnBucketCap).drop("mrn")
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      e.join(broadcast(q), Seq("bucket"))
+      eCapped.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           FloatVecDot.cosine(col("embedding"), col("qvec")).as("cos"))

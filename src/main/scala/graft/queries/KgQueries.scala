@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.kg.{Canonicalize, Extract, HashedFile, KgPipeline}
+import graft.kg.{Canonicalize, Extract, HashedFile, JsonIngest, KgPipeline}
 import Tables.{corpus, t}
 
 /** KG-pipeline operator demonstrations (SURVEY §2.8 typed ops + S2).
@@ -35,6 +35,64 @@ object KgQueries {
           .select(from_json(col("j"), schema).as("r"))
           .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
             col("r.n_chars").as("n_chars"))
+      }),
+
+    // S2 (full): reference-format NESTED JSON ingest (SURVEY §1.1) —
+    // BioRelEx-shaped records (entities[].names{name→{mentions:[[s,e]]}})
+    // built deterministically from `documents`, parsed with the explicit
+    // nested schema, normalized to one row per mention span. The oracle
+    // computes the flattened rows directly from the same base table.
+    "json_ingest_nested" -> Q.withOracle(
+      """WITH b AS (SELECT doc_id, string_split(text, ' ')[1] AS w1,
+        |                  string_split(text, ' ')[-1] AS wn, n_chars AS nc
+        |           FROM documents)
+        |SELECT doc_id, 0 AS entity_idx, 'term' AS label, w1 AS name,
+        |       TRUE AS is_mentioned, 0 AS m_start, strlen(w1) AS m_end
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, 1, 'term', wn, TRUE, nc - strlen(wn), nc
+        |FROM b WHERE wn <> w1""".stripMargin)(
+      (s, d) => JsonIngest.mentionRows(
+        JsonIngest.parse(JsonIngest.syntheticJson(t(s, d, "documents")), "j"))),
+
+    // S2: interaction normalization — positional participant indices out
+    // of the nested record into first-class rows
+    "json_ingest_interactions" -> Q.withOracle(
+      """WITH b AS (SELECT doc_id, string_split(text, ' ')[1] AS w1,
+        |                  string_split(text, ' ')[-1] AS wn, n_chars AS nc
+        |           FROM documents)
+        |SELECT doc_id, 0 AS p1, 1 AS p2, 'cooccur' AS itype,
+        |       CAST(nc % 2 AS INTEGER) AS ilabel
+        |FROM b WHERE wn <> w1""".stripMargin)(
+      (s, d) => JsonIngest.interactionRows(
+        JsonIngest.parse(JsonIngest.syntheticJson(t(s, d, "documents")), "j"))),
+
+    // O4 over extractor outputs (the reference's multi-system merge): three
+    // rule extractors emit (source, mentions, word) triples — first word,
+    // last word, min distinct word — and the 2-of-3 vote keeps a triple
+    // iff at least two systems agree. Fully oracled.
+    "setop_vote_triples" -> Q.withOracle(
+      """WITH e1 AS (SELECT DISTINCT source AS subj, 'mentions' AS pred,
+        |                   string_split(text, ' ')[1] AS obj FROM documents),
+        |e2 AS (SELECT DISTINCT source, 'mentions',
+        |              string_split(text, ' ')[-1] FROM documents),
+        |e3 AS (SELECT DISTINCT source, 'mentions',
+        |              list_sort(list_distinct(string_split(text, ' ')))[1] FROM documents),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+        |SELECT subj, pred, obj, count(*) AS n_votes
+        |FROM u GROUP BY subj, pred, obj HAVING count(*) >= 2""".stripMargin)(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def sys(obj: org.apache.spark.sql.Column) =
+          docs.select(col("source").as("subj"), lit("mentions").as("pred"),
+            obj.as("obj")).distinct()
+        val e1 = sys(element_at(split(col("text"), " "), 1))
+        val e2 = sys(element_at(split(col("text"), " "), -1))
+        val e3 = sys(element_at(array_sort(array_distinct(split(col("text"), " "))), 1))
+        e1.unionAll(e2).unionAll(e3)
+          .groupBy("subj", "pred", "obj")
+          .agg(count(lit(1)).as("n_votes"))
+          .filter(col("n_votes") >= 2)
       }),
 
     // T1: broadcast-dictionary mention scanner (typed flatMap UDTF-style)
