@@ -80,6 +80,121 @@ object DedupQueries {
       .select(col("doc_id"), expr(fpExpr).as("fp"))
   }
 
+  /** Sequential index-order double dot product / cosine as Spark SQL HOF
+    * text (zip_with + aggregate folds left in index order — the same
+    * accumulation DuckDB's list_inner_product performs).
+    */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  private def sparkCos(a: String, b: String): String =
+    s"(${sparkDot(a, b)} / (sqrt(${sparkDot(a, a)}) * sqrt(${sparkDot(b, b)})))"
+  private def duckDot(a: String, b: String): String =
+    s"list_inner_product($a, $b)"
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val LloydIters = 3
+
+  /** DuckDB replica of the Lloyd-iterated IVF (dimension fixed at 64 by
+    * TESTDATA.md; the Spark side is dimension-agnostic).
+    */
+  private def lloydSql: String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, emb, cent_id AS cluster FROM (
+         |    SELECT e.vec_id, e.emb, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckCos("e.emb", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def centCte(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cluster AS cent_id, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT cluster, pos,
+         |      CAST(sum(CAST(round(emb[pos] * 10000000.0) AS BIGINT)) AS DOUBLE)
+         |        / count(*) / 10000000.0 AS cv
+         |    FROM $asg, (SELECT unnest(generate_series(1, 64)) AS pos)
+         |    GROUP BY cluster, pos) GROUP BY cluster)""".stripMargin
+    val iters = (1 to LloydIters).map(i =>
+      assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+        centCte(s"c$i", s"a$i")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < 8),
+       |$iters,
+       |asg AS (
+       |  SELECT vec_id, emb, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCos("e.emb", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN c$LloydIters c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, emb AS qvec FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qvec, cent_id AS cluster FROM (
+       |    SELECT q.query_id, q.qvec, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${duckCos("q.qvec", "c.cvec")} DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN c$LloydIters c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${duckCos("a.emb", "p.qvec")} AS cos
+       |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= 10""".stripMargin
+  }
+
+  /** Lloyd-iterated IVF ANN, shared by the oracled query and the recall
+    * spec. Deterministic throughout: centroid averaging uses 1e-7
+    * FIXED-POINT per-dimension sums (exact BIGINT arithmetic → order- and
+    * partitioning-invariant), cosine is the sequential index-order double
+    * fold, and every argmax carries a total-order tiebreak — so three
+    * k-means iterations reproduce bit-for-bit in DuckDB.
+    */
+  def ivfLloyd(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def assign(cents: DataFrame): DataFrame = {
+      val wAsg = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr(sparkCos("emb", "cvec")))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cluster"))
+    }
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
+    for (_ <- 1 to LloydIters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "val")))
+        .withColumn("q", expr("CAST(round(val * 10000000.0) AS BIGINT)"))
+        .groupBy("cluster", "pos")
+        .agg((sum("q").cast("double") / count(lit(1)) / lit(1e7)).as("cv"))
+        .groupBy(col("cluster").as("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("cvec"))
+    }
+    val asg = assign(cents)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qvec"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(sparkCos("qvec", "cvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qvec"), col("cent_id").as("cluster"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    asg.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(sparkCos("emb", "qvec")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   private def simhash32Sql: String = {
     val bits = (0 until 32)
       .map(b => s"(CASE WHEN sum(2*((h>>$b)&1)-1) > 0 THEN ${1L << b} ELSE 0 END)")
@@ -312,6 +427,12 @@ object DedupQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cos"), 4).as("cos"))
       }),
+
+    // IVF with Lloyd-iterated centroids (the production upgrade of
+    // simsearch_ivf): 3 deterministic fixed-point k-means iterations from
+    // the 8 seed vectors, then nprobe=2 probing — fully oracled (see
+    // ivfLloyd scaladoc for why the iterations are bit-reproducible).
+    "simsearch_ivf_lloyd" -> Q.withOracle(lloydSql)((s, d) => ivfLloyd(s, d)),
 
     // LSH-bucketed ANN (scale path): 12 deterministic hyperplane sign
     // bits bucket the corpus; each query searches only its bucket
