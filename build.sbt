@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One shared SparkSession across suites (SparkTestBase) — parallel suite
+// execution races ExtensionsSpec's clear-session/getOrCreate against the
+// other suites' session lookups; Spark tests on one context must be serial.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -11,14 +11,19 @@ import graft.functions.Fingerprint64
 class ExtensionsSpec extends AnyFunSuite {
 
   test("extensions inject SQL functions; literals constant-fold") {
-    // isolated session so the extensions conf actually applies (getOrCreate
-    // would otherwise hand back the suite's shared session)
+    // isolated session so the injected extensions actually apply
+    // (getOrCreate would otherwise hand back the suite's shared session).
+    // NOTE: `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext — on the suite's pre-existing context it cannot take
+    // effect, so the test injects through Builder.withExtensions, which
+    // runs the exact same GraftExtensions.apply the conf path loads
+    // (spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions).
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
