@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of float arrays"),
       (es: Seq[Expression]) => FloatVecDot(es.head, es(1))))
+    // whole-operator custom plan: MentionScanPlan → MentionScanExec
+    ext.injectPlannerStrategy(_ => graft.plans.MentionScanStrategy)
   }
 }

@@ -37,16 +37,23 @@ object Lsh {
       .select((keyCols :+ idCol) ++ carryCols map col: _*)
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wBucket))
-    val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    // equi-join on the bucket key; the cap branch is a post-join filter
-    // (rank-adjacency implies a.id < b.id because rn is ordered by id)
-    val cond = keyEq && (
-      (col("a.n") <= cap && col(s"a.$idCol") < col(s"b.$idCol")) ||
-        (col("a.n") > cap && col("b.rn") === col("a.rn") + 1))
     val out = Seq(col(s"a.$idCol").as(s"a_$idCol"), col(s"b.$idCol").as(s"b_$idCol")) ++
       carryCols.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c")))
-    r.as("a").join(r.as("b"), cond)
-      .select(out: _*)
+    val keyEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    // Two joins so the cap bounds JOIN COST, not just output size:
+    // a post-join rank filter would still materialize C(n,2) matches for
+    // a hot bucket inside the join. Small buckets: plain key equi-join.
+    // Big buckets: rank-adjacency is part of the EQUI-JOIN key
+    // ((key, rn+1) = (key, rn)) — linear matches by construction.
+    // (rank-adjacency implies a.id < b.id because rn is ordered by id.)
+    val small = r.where(col("n") <= cap)
+    val smallPairs = small.as("a").join(small.as("b"),
+      keyEq && col(s"a.$idCol") < col(s"b.$idCol"))
+    val big = r.where(col("n") > cap)
+    val bigPairs = big.withColumn("rn_next", col("rn") + 1).as("a")
+      .join(big.as("b"), keyEq && col("a.rn_next") === col("b.rn"))
+    smallPairs.select(out: _*)
+      .unionAll(bigPairs.select(out: _*))
       .distinct()
   }
 

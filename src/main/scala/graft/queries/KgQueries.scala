@@ -101,6 +101,15 @@ object KgQueries {
       Extract.mentions(hashedCorpus(s, d), Extract.broadcastFnAliases(s, dict)).toDF()
     }),
 
+    // T1 via the custom Catalyst operator (MentionScanPlan → strategy →
+    // MentionScanExec): same semantics as udtf_mentions without the
+    // object-serialization fences — PlanSpec asserts result equality
+    "mention_scan_plan" -> Q.noOracle((s, d) => {
+      val dict = KgPipeline.dictDataset(s)
+      graft.plans.MentionScan.scan(hashedCorpus(s, d),
+        Extract.broadcastFnAliases(s, dict))
+    }),
+
     // full stage-1..4 DAG to canonicalized triples (bench headline)
     "kg_triples" -> Q.noOracle((s, d) => {
       val dict = KgPipeline.dictDataset(s)
@@ -108,6 +117,39 @@ object KgQueries {
         Extract.broadcastFnAliases(s, dict))
       Canonicalize.toTriples(rels, Canonicalize.linkMap(dict)).toDF()
     }),
+
+    // T1 at gazetteer scale: Aho-Corasick multi-pattern scan — ONE pass
+    // over each document for the whole broadcast lexicon (vs N regex
+    // passes), whole-word matching so the token-equality oracle is exact.
+    // Lexicon = the 40 lexicographically-first distinct words of docs
+    // 0..19 (deterministic in both engines).
+    "gazetteer_scan" -> Q.withOracle(
+      """WITH lex AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                 FROM documents WHERE doc_id < 20)
+        |  GROUP BY w ORDER BY w LIMIT 40),
+        |cnt AS (
+        |  SELECT d.doc_id, l.w AS word,
+        |         len(list_filter(string_split(d.text, ' '), x -> x = l.w)) AS n_matches
+        |  FROM documents d CROSS JOIN lex l)
+        |SELECT doc_id, word, n_matches FROM cnt WHERE n_matches > 0""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val lex = docs.filter(col("doc_id") < 20)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .distinct().orderBy("w").limit(40).as[String].collect().toSeq
+        val bc = s.sparkContext.broadcast(graft.functions.AhoCorasick.build(lex))
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val ac = bc.value
+            it.flatMap { case (id, text) =>
+              ac.findAll(text).groupBy(_._1).iterator.map { case (pid, ms) =>
+                (id, ac.patterns(pid), ms.size.toLong)
+              }
+            }
+          }.toDF("doc_id", "word", "n_matches")
+      }),
 
     // J7: MinHash-LSH blocking over dictionary aliases
     "join_lsh_block" -> Q.noOracle((s, d) =>

@@ -62,4 +62,27 @@ class PlanSpec extends SparkTestBase {
   test("entry smoke: flagship produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("MentionScan custom plan: equals typed flatMap, no object fences") {
+    import spark.implicits._
+    val corpus = graft.fixtures.CorpusGen.corpus(60).toDF()
+      .withColumn("file_sha", sha2(col("content"), 256))
+      .as[graft.kg.HashedFile]
+    val dict = graft.kg.KgPipeline.dictDataset(spark)
+    val bc = graft.kg.Extract.broadcastFnAliases(spark, dict)
+    val viaPlan = graft.plans.MentionScan.scan(corpus, bc)
+    val viaFlatMap = graft.kg.Extract.mentions(corpus, bc).toDF()
+    assert(viaPlan.schema == viaFlatMap.schema)
+    val a = viaPlan.collect().map(_.toSeq).toSet
+    val b = viaFlatMap.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // the operator is a named physical node, with no serialization fences
+    val nodes = allNodes(executed(viaPlan)).map(_.nodeName)
+    assert(nodes.exists(_.contains("MentionScan")), nodes.mkString(","))
+    assert(!nodes.exists(n => n.contains("DeserializeToObject") ||
+      n.contains("SerializeFromObject")), nodes.mkString(","))
+    // column pruning through the custom node: projecting two columns
+    // still plans (output schema is fixed, child scan stays columnar)
+    assert(viaPlan.select("norm", "kind").distinct().count() > 0)
+  }
 }
