@@ -4,13 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.kg._
 
-/** One-off scaling probe: KG pipeline throughput at two core counts.
-  * Usage: runMain graft.tools.ScalingProbe <nfiles> <cores1,cores2,...>
+/** One-off scaling probe over the SAME fused DAG Bench times
+  * (Extract.canonicalTriples). Usage:
+  *   runMain graft.tools.ScalingProbe <nfiles> <cores[:shufflePartitions],...> [runs]
+  * e.g. ScalingProbe 400000 16,4,16:64,4:64 2
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
-    val coreSets = args(1).split(",").map(_.toInt)
+    val configs = args(1).split(",").map { spec =>
+      spec.split(":") match {
+        case Array(c) => (c.toInt, c.toInt)
+        case Array(c, p) => (c.toInt, p.toInt)
+      }
+    }
+    val runs = if (args.length > 2) args(2).toInt else 2
     val corpusDir = s"/tmp/graft_bench_corpus_$n"
 
     // materialize the deterministic corpus once (generation excluded)
@@ -25,29 +33,29 @@ object ScalingProbe {
       s.stop()
     }
 
-    for (c <- coreSets) {
+    for ((c, p) <- configs) {
       val s = SparkSession.builder().master(s"local[$c]")
-        .config("spark.sql.shuffle.partitions", c.toString)
+        .config("spark.sql.shuffle.partitions", p.toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       import s.implicits._
       s.sparkContext.setLogLevel("WARN")
       val dict = KgPipeline.dictDataset(s)
       val fnAliases = Extract.broadcastFnAliases(s, dict)
-      val links = s.createDataset(Canonicalize.linkMap(dict).collect().toSeq)
-      val times = (1 to 4).map { _ =>
+      val canon = Canonicalize.broadcastLinkMap(s, dict)
+      var cnt = 0L
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val hashed = s.read.parquet(corpusDir)
           .withColumn("file_sha", sha2(col("content"), 256))
           .select("repo", "path", "commit", "lang", "content", "file_sha")
           .as[HashedFile]
-        val rels = Extract.scoredRelations(hashed, fnAliases)
-        val cnt = Canonicalize.toTriples(rels, links).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        (cnt, dt)
+        cnt = Extract.canonicalTriples(hashed, fnAliases, canon).count()
+        (System.nanoTime() - t0) / 1e9
       }
-      val best = times.map(_._2).min
-      println(f"[probe] cores=$c triples=${times.head._1} best=${best}%.2fs thr=${times.head._1 / best}%.0f/s all=${times.map(t => f"${t._2}%.2f").mkString(",")}")
+      val best = times.min
+      println(f"[probe] cores=$c shuffle=$p triples=$cnt best=$best%.2fs " +
+        f"thr=${cnt / best}%.0f/s all=${times.map(t => f"$t%.2f").mkString(",")}")
       s.stop()
     }
   }
