@@ -64,6 +64,14 @@ case class MentionScanExec(child: SparkPlan, fnAliases: Broadcast[Set[String]],
                            output: Seq[Attribute])
     extends UnaryExecNode {
 
+  // first-class SQLMetrics (north rule: per-partition lineage + METRICS):
+  // visible in the Spark UI / explain like any built-in operator's
+  override lazy val metrics = Map(
+    "numFiles" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of files scanned"),
+    "numMentions" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of mentions emitted"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     def ord(name: String): Int = {
@@ -76,10 +84,13 @@ case class MentionScanExec(child: SparkPlan, fnAliases: Broadcast[Set[String]],
       (ord("repo"), ord("path"), ord("commit"), ord("lang"), ord("content"), ord("file_sha"))
     val schema = MentionScan.schema
     val bc = fnAliases
+    val filesMetric = longMetric("numFiles")
+    val mentionsMetric = longMetric("numMentions")
     child.execute().mapPartitions { rows =>
       val proj = UnsafeProjection.create(schema)
       val dict = bc.value
       rows.flatMap { row =>
+        filesMetric += 1
         val f = HashedFile(
           row.getUTF8String(iRepo).toString,
           row.getUTF8String(iPath).toString,
@@ -88,6 +99,7 @@ case class MentionScanExec(child: SparkPlan, fnAliases: Broadcast[Set[String]],
           row.getUTF8String(iContent).toString,
           row.getUTF8String(iSha).toString)
         Extract.scanFile(f, dict).iterator.map { m =>
+          mentionsMetric += 1
           proj(new GenericInternalRow(Array[Any](
             UTF8String.fromString(m.fileSha), UTF8String.fromString(m.repo),
             UTF8String.fromString(m.path), UTF8String.fromString(m.commit),
