@@ -15,10 +15,11 @@ import Tables.t
 object DedupQueries {
 
   /** Word k-shingles → MinHash bands, as a typed map (doc_id, band, hash). */
-  private def bandedDocs(s: SparkSession, d: String, shingleWords: Int,
+  private def bandedDocs(docs: DataFrame, shingleWords: Int,
                          k: Int, bands: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val words = text.split(" ")
@@ -29,6 +30,17 @@ object DedupQueries {
         Hashing.bands(sig, bands).zipWithIndex.map { case (h, b) => (id, b, h) }
       }).toDF("doc_id", "band", "bhash")
   }
+
+  /** MinHash-LSH candidate pairs (capped) — shared by the query and the
+    * recall property spec. Default parameters: word-3-shingles, 24
+    * hashes, 12 bands × 2 rows (s-curve threshold ≈ (1/12)^(1/2) ≈ 0.29
+    * shingle-Jaccard — high recall at doc-level Jaccard ≥ 0.8).
+    */
+  def minhashPairs(docs: DataFrame, shingleWords: Int = 3, k: Int = 24,
+                   bands: Int = 12, cap: Int = Lsh.DocBucketCap): DataFrame =
+    Lsh.cappedSelfJoinPairs(
+      bandedDocs(docs, shingleWords, k, bands), Seq("band", "bhash"), "doc_id", cap)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
 
   /** Embeddings with a precomputed L2 norm column — pair-level cosine
     * then costs ONE native dot (graft.functions.FloatVecDot, codegen'd)
@@ -222,10 +234,7 @@ object DedupQueries {
     // per-doc candidate count (well-defined even when no near-dups
     // exist). No oracle: minhash is not DuckDB-reproducible.
     "dedup_minhash_lsh" -> Q.noOracle((s, d) => {
-      val banded = bandedDocs(s, d, shingleWords = 3, k = 24, bands = 12)
-      val pairs = Lsh.cappedSelfJoinPairs(
-          banded, Seq("band", "bhash"), "doc_id", Lsh.DocBucketCap)
-        .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+      val pairs = minhashPairs(t(s, d, "documents"))
       val cnt = pairs.select(col("a_id").as("doc_id"))
         .unionAll(pairs.select(col("b_id").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -434,8 +443,11 @@ object DedupQueries {
     // ivfLloyd scaladoc for why the iterations are bit-reproducible).
     "simsearch_ivf_lloyd" -> Q.withOracle(lloydSql)((s, d) => ivfLloyd(s, d)),
 
-    // LSH-bucketed ANN (scale path): 12 deterministic hyperplane sign
-    // bits bucket the corpus; each query searches only its bucket
+    // LSH-bucketed ANN (scale path): 6 deterministic hyperplane sign bits
+    // bucket the corpus; MULTI-PROBE (Lv et al. 2007): each query probes
+    // its own bucket plus the 6 buckets at hamming distance 1 — on
+    // near-orthogonal vectors single-probe recall is ~0 because a true
+    // neighbor rarely agrees on all 6 signs (recall floor property-tested)
     "simsearch_lsh" -> Q.noOracle((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -461,8 +473,18 @@ object DedupQueries {
             (id, bucket, emb)
           }
         }.toDF("vec_id", "bucket", "embedding")
+      // multi-probe: own bucket + every bucket at hamming distance <= 2
+      // (1 + 6 + 15 = 22 of the 64 buckets — still sub-linear, and the
+      // only recall lever that works on near-orthogonal vectors)
+      val probeMasks = 0 +: (0 until nPlanes).map(1 << _) ++:
+        (for (p1 <- 0 until nPlanes; p2 <- (p1 + 1) until nPlanes)
+          yield (1 << p1) | (1 << p2))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("bucket"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
+          col("embedding").as("qvec"))
+        .select(col("query_id"), col("qvec"),
+          explode(array(probeMasks.map(m =>
+            expr(s"int(qbucket ^ $m)")): _*)).as("bucket"))
       // probe-list cap: a hot bucket contributes at most AnnBucketCap
       // members per query (deterministic by vec_id) — bounds per-query
       // scan cost at corpus scale

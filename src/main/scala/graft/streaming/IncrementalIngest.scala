@@ -48,6 +48,46 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup with CUSTOM STATE (SURVEY §2.9 surface:
+    * `KeyValueGroupedDataset.flatMapGroupsWithState`): documents arrive
+    * continuously; the first doc_id seen per content sha is emitted, every
+    * later duplicate is suppressed — keep-first semantics across batches,
+    * carried by per-key state in the streaming state store (checkpointed,
+    * so resume preserves dedup decisions). The batch analogue is
+    * `dedup_exact` (groupBy sha, min doc_id); the streaming version trades
+    * the global min for first-arrival-wins, the only meaning "min" can
+    * have over an unbounded stream.
+    */
+  def streamingExactDedup(spark: SparkSession, docsDir: String, outDir: String,
+                          checkpointDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema).parquet(docsDir)
+      .select(sha2(col("text"), 256).as("sha"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sha: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((sha, rows.map(_._2).min)) // min within first batch
+          }
+      }
+      .toDF("sha", "keep_id")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream
     * (readStream → withWatermark → window → count), drained with
     * AvailableNow. Demonstrates the streaming agg surface; equivalent to

@@ -51,6 +51,35 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == streamed.size)
   }
 
+  test("streaming exact dedup: custom state keeps first-seen sha across batches") {
+    import spark.implicits._
+    val docsDir = tmp("dedup-docs")
+    val outDir = tmp("dedup-out")
+    val ckpt = tmp("dedup-ckpt")
+
+    // wave 1: ten unique texts
+    (0L until 10L).map(i => (i, s"text body number $i")).toDF("doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    IncrementalIngest.streamingExactDedup(spark, docsDir, outDir, ckpt)
+    val w1 = spark.read.parquet(outDir).as[(String, Long)].collect().toMap
+    assert(w1.size == 10 && w1.values.toSet == (0L until 10L).toSet)
+
+    // wave 2: five duplicates of wave-1 texts (higher ids) + three new
+    val wave2 = (10L until 15L).map(i => (i, s"text body number ${i - 10}")) ++
+      (15L until 18L).map(i => (i, s"fresh text $i"))
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(docsDir)
+    IncrementalIngest.streamingExactDedup(spark, docsDir, outDir, ckpt)
+
+    val all = spark.read.parquet(outDir).as[(String, Long)].collect()
+    assert(all.length == 13, s"expected 13 first-seen shas, got ${all.length}")
+    val byId = all.map(_._2).toSet
+    // duplicates suppressed: keep_ids are wave-1 originals + the 3 new docs
+    assert(byId == ((0L until 10L) ++ (15L until 18L)).toSet)
+    // state survives a third no-op drain
+    IncrementalIngest.streamingExactDedup(spark, docsDir, outDir, ckpt)
+    assert(spark.read.parquet(outDir).count() == 13)
+  }
+
   test("watermarked tumbling window equals batch agg below the watermark") {
     val eventsDir = "/root/testdata/sf0.001"
     val outDir = tmp("stream-win")
