@@ -68,6 +68,53 @@ object JsonIngest {
         col("ix.type").as("itype"),
         col("ix.label").as("ilabel"))
 
+  /** EXPORT the normalized rows back to the reference's nested record
+    * shape (the inverse of mentionRows/interactionRows): group mention
+    * spans under their name, names under their entity index, entities and
+    * interactions under the document. Arrays are sort_array'd so the
+    * output is deterministic under any partitioning; the round-trip
+    * (export → parse → flatten) reproduces the input rows exactly
+    * (JsonIngestSpec).
+    *
+    * mentions: (doc_id, entity_idx, label, name, is_mentioned, m_start, m_end)
+    * interactions: (doc_id, p1, p2, itype, ilabel)
+    * returns one reference-format JSON string per doc_id.
+    */
+  def exportJson(mentions: DataFrame, interactions: DataFrame,
+                 texts: DataFrame): DataFrame = {
+    val names = mentions
+      .groupBy("doc_id", "entity_idx", "label", "name", "is_mentioned")
+      .agg(sort_array(collect_list(array(col("m_start"), col("m_end"))))
+        .as("mentions"))
+    val entities = names
+      .groupBy("doc_id", "entity_idx", "label")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("name"),
+        struct(col("is_mentioned"), col("mentions")))))).as("names"))
+      .groupBy("doc_id")
+      // array_sort with a comparator: sort_array cannot order structs
+      // containing maps
+      .agg(collect_list(struct(col("entity_idx"), col("label"), col("names")))
+        .as("ents0"))
+      .select(col("doc_id"),
+        expr("array_sort(ents0, (l, r) -> l.entity_idx - r.entity_idx)").as("ents"))
+      .select(col("doc_id"),
+        expr("transform(ents, e -> struct(e.label as label, false as is_state, " +
+          "cast(null as string) as grounding, e.names as names))").as("entities"))
+    val ixs = interactions
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p1"), col("p2"), col("itype"),
+        col("ilabel")))).as("ixs"))
+      .select(col("doc_id"),
+        expr("transform(ixs, i -> struct(array(i.p1, i.p2) as participants, " +
+          "i.itype as type, i.ilabel as label, false as implicit))")
+          .as("interactions"))
+    texts.select(col("doc_id"), col("text"))
+      .join(entities, Seq("doc_id"), "left")
+      .join(ixs, Seq("doc_id"), "left")
+      .select(to_json(struct(col("doc_id").as("id"), col("text"),
+        col("entities"), col("interactions"))).as("j"))
+  }
+
   /** Deterministic reference-format JSON fixture built from the driver's
     * `documents` table (used by the oracled ingest queries): entity 0 =
     * first word mentioned at the text start, entity 1 = last word at the

@@ -63,6 +63,31 @@ class JsonIngestSpec extends SparkTestBase {
     assert(interactions == List((1L, 0, 1, "cooccur", 0)))
   }
 
+  test("export → parse → flatten round-trips the normalized rows exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", 16L),
+      (2L, "solo solo", 9L),
+      (3L, "delta epsilon zeta", 18L)
+    ).toDF("doc_id", "text", "n_chars")
+    val parsed = JsonIngest.parse(JsonIngest.syntheticJson(docs), "j")
+    val m0 = JsonIngest.mentionRows(parsed)
+    val i0 = JsonIngest.interactionRows(parsed)
+    val exported = JsonIngest.exportJson(m0, i0,
+      docs.select(col("doc_id"), col("text")))
+    val reparsed = JsonIngest.parse(exported, "j")
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(mset(JsonIngest.mentionRows(reparsed)) == mset(m0))
+    assert(mset(JsonIngest.interactionRows(reparsed)) == mset(i0))
+    // and it round-trips under different partitioning (sort_array makes
+    // the nested arrays deterministic)
+    val exported7 = JsonIngest.exportJson(m0.repartition(7), i0.repartition(3),
+      docs.select(col("doc_id"), col("text")))
+    assert(exported.as[String].collect().sorted.toSeq ==
+      exported7.as[String].collect().sorted.toSeq)
+  }
+
   test("malformed records yield null parse, not garbage rows") {
     import spark.implicits._
     val parsed = JsonIngest.parse(Seq("""{"id": "not json""").toDF("j"), "j")
