@@ -166,6 +166,32 @@ object RelationalQueries {
         .select(col("n_name"), col("r_name"),
           when(col("n_regionkey") === col("r_regionkey"), 1).otherwise(0).as("in_region"))),
 
+    // J11 (round 2): explicit build-side BLOOM pre-filter + exact verify
+    // join — Spark's runtime-filter machinery (BloomFilterAggregate /
+    // might_contain via graft.functions.BloomOps) applied by hand: the
+    // bloom prunes the big side's scan to ~|matching| rows before the
+    // shuffle; false positives are removed by the exact semi-join, so the
+    // result (and the oracle) is the plain IN-subquery
+    "join_bloom_prune" -> Q.withOracle(
+      """SELECT l_orderkey, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY l_orderkey""".stripMargin)(
+      (s, d) => {
+        val keys = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"))
+        val bloomBin = keys
+          .agg(graft.functions.BloomOps.bloomAgg(col("o_orderkey"), 100000L).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        t(s, d, "lineitem")
+          .filter(graft.functions.BloomOps.mightContain(lit(bloomBin), col("l_orderkey")))
+          .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      }),
+
     // A1: group-count
     "agg_count" -> Q.withOracle(
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")(
@@ -195,6 +221,17 @@ object RelationalQueries {
     "agg_approx_distinct" -> Q.noOracle(
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))),
+
+    // A4b (round 2): exact interpolated percentiles — Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation formula;
+    // round(,6) absorbs last-ulp arithmetic differences
+    "agg_median" -> Q.withOracle(
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS q1_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("q1_price"))),
 
     // A5: set collection (stringified for a stable cross-engine compare)
     "agg_collect" -> Q.withOracle(

@@ -63,6 +63,15 @@ class PlanSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("join_bloom_prune: bloom pre-filter sits below the exact semi-join") {
+    val df = SparkEntry.queries("join_bloom_prune")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // the pre-filter feeds the semi-join (exactness comes from the join)
+    assert(allNodes(executed(df)).exists(_.nodeName.contains("BroadcastHashJoin")))
+  }
+
   test("MentionScan custom plan: equals typed flatMap, no object fences") {
     import spark.implicits._
     val corpus = graft.fixtures.CorpusGen.corpus(60).toDF()
