@@ -178,7 +178,7 @@ object DedupQueries {
     var cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
     for (_ <- 1 to LloydIters) {
-      cents = assign(cents)
+      val next = assign(cents)
         .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "val")))
         .withColumn("q", expr("CAST(round(val * 10000000.0) AS BIGINT)"))
         .groupBy("cluster", "pos")
@@ -186,6 +186,12 @@ object DedupQueries {
         .groupBy(col("cluster").as("cent_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
           .as("cvec"))
+      // materialize the 8 centroid rows through the driver: cuts the
+      // lineage chain so iteration i never recomputes iterations 1..i-1
+      // (exact doubles pass through unchanged — determinism preserved)
+      cents = s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(next.collect(): _*)),
+        next.schema)
     }
     val asg = assign(cents)
     val q = e.filter(col("vec_id") < 5)
