@@ -8,22 +8,38 @@ import graft.kg._
   *
   * Part 1 — operator suite: times every SparkEntry query (count) at
   * `local[$SPARK_GRAFT_CPUS]` on $SPARK_GRAFT_SF_DIR (regression
-  * tracking per BASELINE.md).
+  * tracking per BENCH/BASELINE.md).
   *
-  * Part 2 — KG scaling (BASELINE.json:2: ≥0.8 throughput scaling
-  * efficiency from N to 4N): the full extract→canonicalize→dedup DAG
-  * over a pre-materialized deterministic corpus, at TWO geometries.
-  * Headline: local[2]→local[8] — both configs sit far below the host's
-  * 16 physical cores, so the VM's occupancy-dependent clock boost hits
-  * them equally (like 2 vs 8 real executors at fixed clocks); the
-  * embarrassingly-parallel sha256 calibration confirms the hardware
-  * ceiling is ≈1 at this geometry. Context: local[4]→local[16], where
-  * 16 threads saturate the physical cores and even the zero-shuffle
-  * calibration job only reaches ~0.6 — a hardware property, not a
-  * pipeline one (see BENCH/BASELINE.md). Runs alternate between
-  * configs; min-of-runs filters steal-time noise; the headline is the
-  * MEDIAN of per-round efficiencies. Throughput = triples emitted/sec;
-  * efficiency = (thr@4N/thr@N)/4.
+  * Part 2 — KG throughput scaling (BASELINE.json:2: ≥0.8 efficiency from
+  * N to 4N): the full extract→canonicalize→dedup DAG over a
+  * pre-materialized deterministic corpus. PRE-REGISTERED round-3 protocol
+  * (BENCH/BASELINE.md §"Scaling protocol", committed before this run):
+  *
+  *  - Headline geometry local[2]→local[8] (both far below the host's 16
+  *    physical cores, so the VM's occupancy-dependent clocks hit them
+  *    equally — like 2 vs 8 real executors at fixed clocks).
+  *  - 9 rounds. Within a round, configs INTERLEAVE at slot grain
+  *    (8,2, 8,2, 8,2): a multi-minute steal window therefore hits both
+  *    sides of the ratio, not just one. Per side, min-of-3 slots.
+  *  - Every slot also times an embarrassingly-parallel sha256 calibration
+  *    job inside the SAME session — the round's hardware ceiling.
+  *  - Per-round raw efficiency eff_r = t2/(4·t8); pre-registered
+  *    SECONDARY normalized efficiency neff_r = eff_r / ceil_r where
+  *    ceil_r = c2/(4·c8) from the round's OWN calibration pair (both jobs
+  *    face the same host conditions, so the ratio cancels exogenous clock
+  *    or steal effects that degrade both).
+  *  - Headline = MEDIAN of the 9 raw efficiencies; the normalized median
+  *    is reported alongside, with every round's full tuple emitted in
+  *    `scaling_rounds` so the distribution is judgeable. No capping, no
+  *    post-hoc round filtering.
+  *  - A skew block (`scaling_rounds_skew`, 3 rounds, min-of-2 slots) runs
+  *    the same estimator over the same files CLUSTERED BY REPO on disk
+  *    (the ~50%-hot mega-repo becomes contiguous input splits) —
+  *    demonstrating the gate survives input-split skew.
+  *  - Context block: the saturated local[4]→local[16] geometry (2
+  *    rounds), where even the zero-shuffle calibration reaches only ~0.6
+  *    of perfect 4× (16 threads saturate all physical cores, which then
+  *    clock lower) — a hardware property, reported with its own ceiling.
   *
   * Prints ONE JSON line: {"metric","value","unit","queries",...,"sf"}.
   */
@@ -35,6 +51,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 16 MB scan splits: the skew corpus clusters ~50% of all bytes
+      // into one hot file — split-level parallelism (not file count) must
+      // carry the scaling there, which needs splits ≪ file size (the hot
+      // file is written with 8 MB row groups below)
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -56,6 +77,58 @@ object Bench {
       .select("repo", "path", "commit", "lang", "content", "file_sha")
       .as[HashedFile]
     Extract.canonicalTriples(hashed, fnAliases, canon).count()
+  }
+
+  /** Hardware-ceiling calibration: an embarrassingly parallel job (per-
+    * row sha256 over fixed bytes — zero shuffle, zero skew, nothing to
+    * serialize) measures what N→4N threads is WORTH on this host right
+    * now. Heavy enough (~4–5 s at local[2]) that scheduler fixed costs
+    * are noise — round-2's ~0.3 s calibration at local[8] was itself
+    * noise-dominated.
+    */
+  private def calibRun(s: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    s.range(400000).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](1500)
+      it.map { i =>
+        java.util.Arrays.fill(buf, (i % 251).toByte)
+        var k = 0
+        var acc = 0L
+        while (k < 16) { md.reset(); acc ^= md.digest(buf)(0); k += 1 }
+        acc
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One interleave slot: fresh session at `cores`, per-cluster dict
+    * setup (untimed), ONE timed pipeline run, ONE timed calibration run
+    * in the same session (same host conditions), session stopped.
+    */
+  private def slot(cores: Int, corpusDir: String,
+                   withCalib: Boolean): (Long, Double, Double) = {
+    val s = session(cores)
+    val dict = KgPipeline.dictDataset(s)
+    val fnAliases = Extract.broadcastFnAliases(s, dict)
+    val canonB = Canonicalize.broadcastLinkMap(s, dict)
+    val t0 = System.nanoTime()
+    val triples = kgTriples(s, corpusDir, fnAliases, canonB)
+    val t = (System.nanoTime() - t0) / 1e9
+    val c = if (withCalib) calibRun(s) else Double.NaN
+    s.stop()
+    (triples, t, c)
+  }
+
+  case class Round(tLow: Double, tHigh: Double, cLow: Double, cHigh: Double) {
+    def eff: Double = (tLow / tHigh) / 4.0
+    def ceil: Double = (cLow / cHigh) / 4.0
+    def neff: Double = eff / ceil
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,105 +159,63 @@ object Bench {
       name -> (if (ok) math.min(tA, tB) else -1.0, ok)
     }
 
-    // ---- part 2: KG throughput scaling (N=4 vs 4N=16 cores) ----
+    // ---- part 2: KG throughput scaling ----
     val nFiles = math.max(8000, (sf * 4000000).toInt)
     val corpusDir = s"/tmp/graft_bench_corpus_$nFiles"
+    val skewDir = s"/tmp/graft_bench_corpus_skew_$nFiles"
     if (!new java.io.File(corpusDir).exists()) {
       import suiteSpark.implicits._
       suiteSpark.range(nFiles).repartition(64)
         .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
         .toDF().write.mode("overwrite").parquet(corpusDir)
     }
+    if (!new java.io.File(skewDir).exists()) {
+      // same files, CLUSTERED BY REPO on disk: the mega-repo (~50% of all
+      // rows, CorpusGen.repoOf) collapses into ONE hot file — the
+      // input-skew shape a crawl of real repositories produces. Written
+      // with 8 MB row groups so 16 MB maxPartitionBytes splits can
+      // actually parallelize the hot file (row groups are the minimum
+      // split unit; default 128 MB groups would leave ~3 splits carrying
+      // 50% of the work no matter the split size).
+      suiteSpark.read.parquet(corpusDir)
+        .repartition(col("repo"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(skewDir)
+    }
     suiteSpark.stop()
 
-    def bestTime(cores: Int, runs: Int): (Long, Double) = {
-      val s = session(cores)
-      import s.implicits._
-      // per-cluster dictionary setup, outside the timed region
-      val dict = KgPipeline.dictDataset(s)
-      val fnAliases = Extract.broadcastFnAliases(s, dict)
-      val canonB = Canonicalize.broadcastLinkMap(s, dict)
-      var triples = 0L
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        triples = kgTriples(s, corpusDir, fnAliases, canonB)
-        (System.nanoTime() - t0) / 1e9
+    var nTriples = 0L
+    /** One estimator round: slots interleave (high, low) × reps so a
+      * steal window lands on both configs; min-of-reps per side.
+      */
+    def round(low: Int, high: Int, dir: String, reps: Int,
+              withCalib: Boolean): Round = {
+      var tLo, tHi, cLo, cHi = Double.MaxValue
+      for (_ <- 1 to reps) {
+        val (n1, a, ca) = slot(high, dir, withCalib); nTriples = n1
+        val (_, b, cb) = slot(low, dir, withCalib)
+        tHi = math.min(tHi, a); tLo = math.min(tLo, b)
+        if (withCalib) { cHi = math.min(cHi, ca); cLo = math.min(cLo, cb) }
       }
-      s.stop()
-      (triples, times.min)
-    }
-    // hardware-ceiling calibration: an embarrassingly parallel job (per-
-    // row sha256 over fixed bytes — zero shuffle, zero skew, nothing to
-    // serialize) measures what 4→16 threads is WORTH on this host. The
-    // VM boosts clocks at low occupancy (turbo/SMT/steal), so even
-    // perfect code scales < 4×; real 4-vs-16-executor clusters run at
-    // equal clocks. kg_scaling_efficiency_normalized = raw / ceiling.
-    def calibTime(cores: Int, runs: Int): Double = {
-      val s = session(cores)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        s.range(400000).mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          val buf = new Array[Byte](1500)
-          it.map { i =>
-            java.util.Arrays.fill(buf, (i % 251).toByte)
-            var k = 0
-            var acc = 0L
-            while (k < 4) { md.reset(); acc ^= md.digest(buf)(0); k += 1 }
-            acc
-          }
-        }(org.apache.spark.sql.Encoders.scalaLong).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      s.stop()
-      times.min
+      Round(tLo, tHi, if (withCalib) cLo else Double.NaN,
+        if (withCalib) cHi else Double.NaN)
     }
 
-    bestTime(8, 2) // JIT/page-cache warmup, discarded
-    // The sandbox shows multi-minute steal-time windows that can inflate
-    // one config's wall time 2×. Estimator: per geometry, measure
-    // (tLow, tHigh, cLow, cHigh) within each round and report the MEDIAN
-    // per-round raw efficiency — an unbiased location estimate
-    // (max-of-rounds is upward-biased on noisy ratios and could pass the
-    // 0.8 gate on noise alone). Every round's tuple is emitted so the
-    // distribution itself is judgeable.
-    //
-    // TWO geometries:
-    //  - HEADLINE local[2]→local[8]: both configs sit far below full
-    //    occupancy, so the VM's occupancy-dependent clock boost affects
-    //    them EQUALLY — like 2 vs 8 real executors at fixed clocks. The
-    //    sha256 calibration confirms ceiling ≈ 1 here.
-    //  - CONTEXT local[4]→local[16]: 16 threads saturate the physical
-    //    cores, whose clocks drop vs the 4-thread run; the calibration
-    //    job (embarrassingly parallel, zero shuffle) itself only reaches
-    //    ~0.6 — a hardware property no pipeline can exceed on this box.
-    case class Round(tLow: Double, tHigh: Double, cLow: Double, cHigh: Double) {
-      def eff: Double = (tLow / tHigh) / 4.0
-      def ceil: Double = (cLow / cHigh) / 4.0
-    }
-    var nTriples = 0L
-    def scalingBlock(low: Int, high: Int, rounds: Int): (Seq[Round], Double, Double) = {
-      var tLo = Double.MaxValue
-      var tHi = Double.MaxValue
-      val rs = (1 to rounds).map { _ =>
-        val (n1, a) = bestTime(high, 2); nTriples = n1
-        val (_, b) = bestTime(low, 2)
-        val cHi = calibTime(high, 2)
-        val cLo = calibTime(low, 2)
-        tHi = math.min(tHi, a); tLo = math.min(tLo, b)
-        Round(b, a, cLo, cHi)
-      }
-      (rs, tLo, tHi)
-    }
-    // 5 headline rounds: the sandbox's steal windows last minutes and can
-    // swallow 1-2 whole rounds (the sha256 ceilings collapse in lockstep
-    // when that happens) — a median of 5 survives two corrupted rounds
-    val (rounds28, t2, t8) = scalingBlock(2, 8, 5)
-    val (rounds416, t4, t16) = scalingBlock(4, 16, 3)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    // warmup (JIT + page cache for the corpus), discarded
+    slot(8, corpusDir, withCalib = false)
+    slot(2, corpusDir, withCalib = false)
+
+    // headline: 9 rounds, 2→8, interleaved min-of-3, with calibration
+    val rounds28 = (1 to 9).map(_ => round(2, 8, corpusDir, 3, withCalib = true))
+    val t2 = rounds28.map(_.tLow).min
+    val t8 = rounds28.map(_.tHigh).min
+    // skew block: 3 rounds over the repo-clustered corpus, min-of-2
+    val roundsSkew = (1 to 3).map(_ => round(2, 8, skewDir, 2, withCalib = false))
+    // context: saturated 4→16 geometry, 2 rounds, min-of-2
+    val rounds416 = (1 to 2).map(_ => round(4, 16, corpusDir, 2, withCalib = true))
+    val t4 = rounds416.map(_.tLow).min
+    val t16 = rounds416.map(_.tHigh).min
 
     // ---- emit one JSON line ----
     def f(d: Double): String =
@@ -200,7 +231,12 @@ object Bench {
       "kg_scaling_efficiency" -> median(rounds28.map(_.eff)),
       "kg_scaling_efficiency_min" -> rounds28.map(_.eff).min,
       "kg_scaling_efficiency_max" -> rounds28.map(_.eff).max,
+      // pre-registered secondary: per-round eff normalized by the round's
+      // own calibration ceiling (BENCH/BASELINE.md §"Scaling protocol")
+      "kg_scaling_efficiency_normalized" -> median(rounds28.map(_.neff)),
       "hw_ceiling_efficiency_median" -> median(rounds28.map(_.ceil)),
+      // skew block: same estimator, repo-clustered input
+      "kg_scaling_efficiency_skew" -> median(roundsSkew.map(_.eff)),
       // context: the saturated 4→16 geometry and its hardware ceiling
       "kg_scaling_efficiency_4_16" -> median(rounds416.map(_.eff)),
       "hw_ceiling_efficiency_4_16" -> median(rounds416.map(_.ceil)))
@@ -212,13 +248,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    def roundsJson(rs: Seq[Round], lo: Int, hi: Int): String = rs.map(r =>
-      s"""{"t$lo":${f(r.tLow)},"t$hi":${f(r.tHigh)},"c$lo":${f(r.cLow)},"c$hi":${f(r.cHigh)},""" +
-        s""""eff":${f(r.eff)},"ceil":${f(r.ceil)}}""").mkString("[", ",", "]")
+    def roundsJson(rs: Seq[Round], lo: Int, hi: Int, calib: Boolean): String = rs.map { r =>
+      val base = s"""{"t$lo":${f(r.tLow)},"t$hi":${f(r.tHigh)},"eff":${f(r.eff)}"""
+      if (calib)
+        base + s""","c$lo":${f(r.cLow)},"c$hi":${f(r.cHigh)},""" +
+          s""""ceil":${f(r.ceil)},"neff":${f(r.neff)}}"""
+      else base + "}"
+    }.mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_detail":$detail,"failed_queries":$failed,""" +
-      s""""scaling_rounds":${roundsJson(rounds28, 2, 8)},""" +
-      s""""scaling_rounds_4_16":${roundsJson(rounds416, 4, 16)},"sf":"$sfDir"}""")
+      s""""scaling_rounds":${roundsJson(rounds28, 2, 8, calib = true)},""" +
+      s""""scaling_rounds_skew":${roundsJson(roundsSkew, 2, 8, calib = false)},""" +
+      s""""scaling_rounds_4_16":${roundsJson(rounds416, 4, 16, calib = true)},"sf":"$sfDir"}""")
   }
 }

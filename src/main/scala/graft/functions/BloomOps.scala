@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.xxhash64
 
@@ -29,4 +29,21 @@ object BloomOps {
       BloomFilterMightContain(
         GraftColumnBridge.expression(bloom),
         GraftColumnBridge.expression(xxhash64(key))))
+
+  /** Membership probe whose bloom is built by a SCALAR SUBQUERY over the
+    * build side — the exact shape Spark's own InjectRuntimeFilter plants.
+    * Unlike collecting the bloom to the driver and embedding it as a
+    * binary literal, the subquery result is computed once at execution
+    * and shipped with tasks — it never rides inside every serialized
+    * plan fragment string (at 10⁹ build keys the literal would be MBs).
+    */
+  def mightContainSubquery(build: DataFrame, buildKey: Column,
+                           estimatedItems: Long, probeKey: Column): Column = {
+    val aggPlan = GraftColumnBridge.logicalPlan(
+      build.agg(bloomAgg(buildKey, estimatedItems)))
+    GraftColumnBridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(aggPlan),
+        GraftColumnBridge.expression(xxhash64(probeKey))))
+  }
 }

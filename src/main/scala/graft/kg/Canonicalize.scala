@@ -20,7 +20,13 @@ object Canonicalize {
     * bands × 2 rows → capped self equi-join on (band, hash) → verify.
     * At dictionary scale the join keys are (bandIdx, bandHash) — never
     * an all-pairs cross product; Lsh.DictBucketCap bounds a degenerate
-    * hot bucket (chain fallback keeps the bucket connected).
+    * hot bucket. NOTE: the over-cap chain fallback keeps the bucket
+    * connected only PRE-verification — a chain link whose adjacent norms
+    * differ by >1 edit is dropped by the levenshtein filter, so a
+    * degenerate >cap bucket can fragment a cluster the uncapped join
+    * would have kept whole (bounded recall loss, accepted: the 12 bands
+    * give 12 independent chain orders, and same-entity edges still
+    * connect shared entities regardless).
     */
   def lshEdges(dict: Dataset[DictEntry]): DataFrame = {
     val spark = dict.sparkSession

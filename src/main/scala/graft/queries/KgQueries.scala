@@ -19,6 +19,45 @@ object KgQueries {
       .as[HashedFile]
   }
 
+  /** A corpus of synthetic python files built COLUMN-WISE from the
+    * `documents` table (import first word, import last word, def first
+    * word) — DuckDB can compute the expected mentions directly from the
+    * same words, which puts the REAL mention scanner (regex line scan,
+    * char offsets, norm) under the driver's rows+schema+hash gate
+    * instead of only golden tests.
+    */
+  private def docCodeCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val w1 = element_at(split(col("text"), " "), 1)
+    val wn = element_at(split(col("text"), " "), -1)
+    t(s, d, "documents").select(
+      col("doc_id").cast("string").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      col("source").as("commit"),
+      lit("python").as("lang"),
+      concat(lit("import "), w1, lit("\nimport "), wn,
+        lit("\n\ndef "), w1, lit("(a, b):\n    pass\n")).as("content"))
+      .withColumn("file_sha", sha2(col("content"), 256))
+      .as[HashedFile]
+  }
+
+  /** Oracle for the mention-count keys: the scanner must find exactly
+    * the import/def identifiers the content was built from.
+    */
+  private val mentionCountsSql =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ')[1] AS w1,
+      |                  string_split(text, ' ')[-1] AS wn FROM documents),
+      |m AS (SELECT doc_id, 'import' AS kind, w1 AS norm FROM b
+      |      UNION ALL SELECT doc_id, 'import', wn FROM b
+      |      UNION ALL SELECT doc_id, 'def', w1 FROM b)
+      |SELECT doc_id, kind, norm, count(*) AS n
+      |FROM m GROUP BY doc_id, kind, norm""".stripMargin
+
+  private def mentionCounts(mentions: org.apache.spark.sql.DataFrame) =
+    mentions.groupBy(col("repo").cast("bigint").as("doc_id"),
+        col("kind"), col("norm"))
+      .agg(count(lit(1)).as("n"))
+
   val entries: Map[String, Q] = Map(
 
     // S2: reference-format JSON ingest — to_json/from_json round trip
@@ -151,13 +190,66 @@ object KgQueries {
           }.toDF("doc_id", "word", "n_matches")
       }),
 
+    // T1 oracled (round 3): the REAL mention scanner (Extract.scanFile
+    // regexes via the typed flatMap) over code built column-wise from
+    // `documents`, reduced to per-(doc, kind, norm) counts — exactly
+    // reproducible in DuckDB from the same words. Flips the KG extract
+    // stage itself onto the rows+schema+hash gate.
+    "udtf_mentions_counts" -> Q.withOracle(mentionCountsSql)((s, d) =>
+      mentionCounts(Extract.mentions(docCodeCorpus(s, d),
+        s.sparkContext.broadcast(Set.empty[String])).toDF())),
+
+    // same gate through the CUSTOM CATALYST OPERATOR path
+    // (MentionScanPlan → strategy → MentionScanExec): identical oracle,
+    // so the custom physical node itself is hash-verified, not just
+    // equality-tested against the flatMap in PlanSpec.
+    "mention_scan_counts" -> Q.withOracle(mentionCountsSql)((s, d) =>
+      mentionCounts(graft.plans.MentionScan.scan(docCodeCorpus(s, d),
+        s.sparkContext.broadcast(Set.empty[String])))),
+
     // J7: MinHash-LSH blocking over dictionary aliases
     "join_lsh_block" -> Q.noOracle((s, d) =>
       Canonicalize.lshEdges(KgPipeline.dictDataset(s))),
 
-    // T6: connected components over the alias similarity graph
+    // T6: connected components over the alias similarity graph. The edge
+    // set is MinHash-LSH-derived (not SQL-expressible), so this key stays
+    // no-oracle — the ALGORITHM is oracled by cc_components below.
     "cc_unionfind" -> Q.noOracle((s, d) =>
       Canonicalize.connectedComponents(
-        Canonicalize.aliasEdges(KgPipeline.dictDataset(s))))
+        Canonicalize.aliasEdges(KgPipeline.dictDataset(s)))),
+
+    // T6 oracled (round 3): the SAME distributed star-contraction CC
+    // (Canonicalize.connectedComponents) over a DuckDB-expressible edge
+    // set — per-user event chains (consecutive event_ids) — verified
+    // against a DuckDB RECURSIVE min-label propagation. Multi-component
+    // by construction (one component per user); node ids are
+    // fixed-width-padded so string order == numeric order in both
+    // engines.
+    "cc_components" -> Q.withOracle(
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, event_id,
+        |              'e' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS node
+        |       FROM events),
+        |ch AS (SELECT node,
+        |              lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |       FROM ev),
+        |e0 AS (SELECT prev AS src, node AS dst FROM ch WHERE prev IS NOT NULL),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |walk(node, comp) AS (
+        |  SELECT node, node AS comp FROM n
+        |  UNION
+        |  SELECT e.src AS node, w.comp FROM e JOIN walk w ON w.node = e.dst)
+        |SELECT node, min(comp) AS comp FROM walk GROUP BY node""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+          concat(lit("e"), lpad(col("event_id").cast("string"), 10, "0")).as("node"))
+        val edges = ev.withColumn("prev", lag(col("node"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("node").as("dst"))
+        Canonicalize.connectedComponents(edges)
+      })
   )
 }

@@ -166,12 +166,15 @@ object RelationalQueries {
         .select(col("n_name"), col("r_name"),
           when(col("n_regionkey") === col("r_regionkey"), 1).otherwise(0).as("in_region"))),
 
-    // J11 (round 2): explicit build-side BLOOM pre-filter + exact verify
-    // join — Spark's runtime-filter machinery (BloomFilterAggregate /
-    // might_contain via graft.functions.BloomOps) applied by hand: the
-    // bloom prunes the big side's scan to ~|matching| rows before the
-    // shuffle; false positives are removed by the exact semi-join, so the
-    // result (and the oracle) is the plain IN-subquery
+    // J11 (round 2, reworked round 3): explicit build-side BLOOM
+    // pre-filter + exact verify join — the shape Spark's own
+    // InjectRuntimeFilter plants: the bloom is built by a SCALAR SUBQUERY
+    // (never a driver-collected plan literal), sized from a cheap count
+    // of the filtered build side, and prunes the big side's scan before
+    // the shuffle; false positives are removed by the exact semi-join, so
+    // the result (and the oracle) is the plain IN-subquery. Empty build
+    // side → the bloom aggregate would return NULL, so the pre-filter is
+    // skipped and the exact semi-join alone returns the empty result.
     "join_bloom_prune" -> Q.withOracle(
       """SELECT l_orderkey, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -181,11 +184,13 @@ object RelationalQueries {
       (s, d) => {
         val keys = t(s, d, "orders").filter(col("o_totalprice") > 200000)
           .select(col("o_orderkey"))
-        val bloomBin = keys
-          .agg(graft.functions.BloomOps.bloomAgg(col("o_orderkey"), 100000L).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        t(s, d, "lineitem")
-          .filter(graft.functions.BloomOps.mightContain(lit(bloomBin), col("l_orderkey")))
+        val nKeys = keys.count() // cheap agg-only job sizes the bloom
+        val li = t(s, d, "lineitem")
+        val pruned =
+          if (nKeys == 0) li
+          else li.filter(graft.functions.BloomOps.mightContainSubquery(
+            keys, col("o_orderkey"), nKeys, col("l_orderkey")))
+        pruned
           .join(broadcast(keys), col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy("l_orderkey")
           .agg(count(lit(1)).as("n"),
@@ -388,6 +393,24 @@ object RelationalQueries {
           .unionAll(sys(col("l_returnflag") === "R"))
           .groupBy("okey").agg(count(lit(1)).as("votes"))
           .filter(col("votes") >= 2)
+      }),
+
+    // S4 read-back (round 3): write PARTITIONED BY a low-cardinality
+    // column (the same partitionBy mechanics as the pred-partitioned
+    // triple sink, kg.TableIO), read it back with a partition-column
+    // filter — the scan must PRUNE to the one lang=en directory
+    // (PlanSpec asserts PartitionFilters + selected-partition count) —
+    // then aggregate. Oracle: the same aggregate over the original table
+    // (write→read round-trip identity).
+    "sink_partition_prune" -> Q.withOracle(
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin)(
+      (s, d) => {
+        val dir = "/tmp/graft_sink_docs_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        t(s, d, "documents").write.mode("overwrite").partitionBy("lang").parquet(dir)
+        s.read.parquet(dir).filter(col("lang") === "en")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       }),
 
     // O5: except (regression diff)

@@ -26,6 +26,19 @@ class AhoCorasickSpec extends org.scalatest.funsuite.AnyFunSuite {
     got.foreach { case (w, s) => assert(text.substring(s, s + w.length) == w) }
   }
 
+  test("non-Latin-1 text never aliases into a false match; patterns rejected") {
+    // U+0101 masked mod 256 would collide with U+0001 — the sentinel
+    // class must keep out-of-range chars from ever completing a match
+    val m = '\u0101'
+    val ac = AhoCorasick.build(Seq("ab", "a"))
+    val text = s"${m}b a$m \u0001b ab"
+    val got = ac.findAll(text, wholeWord = false)
+      .map { case (pid, s) => (ac.patterns(pid), s) }.toSet
+    assert(got == Set(("a", 3), ("a", 9), ("ab", 9)), got.toString)
+    // patterns above U+00FF violate the Latin-1 contract loudly
+    intercept[IllegalArgumentException] { AhoCorasick.build(Seq(s"${m}b")) }
+  }
+
   test("matches a brute-force scan on random word-salad text") {
     val rng = new scala.util.Random(5)
     val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table", "value")

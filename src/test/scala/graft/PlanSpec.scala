@@ -70,6 +70,37 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
     // the pre-filter feeds the semi-join (exactness comes from the join)
     assert(allNodes(executed(df)).exists(_.nodeName.contains("BroadcastHashJoin")))
+    // round 3: the bloom rides a SCALAR SUBQUERY, never a plan literal —
+    // no BinaryType literal may appear anywhere in the plan (at 10⁹ build
+    // keys a literal bloom is MBs inside every serialized plan fragment)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binLits = allNodes(executed(df)).flatMap(_.expressions).flatMap(_.collect {
+      case l: Literal if l.dataType == BinaryType => l
+    })
+    assert(binLits.isEmpty, s"driver-materialized bloom literal in plan: ${binLits.size}")
+    assert(plan.toLowerCase.contains("subquery"), s"expected scalar subquery:\n$plan")
+  }
+
+  test("pred-partitioned triple sink: read-back prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip_prune").toString
+    val io = new graft.kg.LocalParquetIO("/nonexistent", s"$dir/triples")
+    val triples = SparkEntry.entry(spark)
+      .withColumn("bucket", pmod(xxhash64(col("fileSha")), lit(4)).cast("int"))
+    io.writeTriples(triples, org.apache.spark.sql.SaveMode.Overwrite)
+    val preds = io.readTriples(spark).select("pred").distinct().count()
+    assert(preds >= 3, s"fixture too small: $preds preds")
+    val rb = io.readTriples(spark).filter(col("pred") === "imports")
+    rb.count()
+    val scan = allNodes(executed(rb)).collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.exists(_.references.map(_.name).exists(_ == "pred")),
+      s"pred not in PartitionFilters: ${scan.partitionFilters}")
+    // only the pred=imports directories are read (one per bucket)
+    val dirsRead = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.getParent.toString).distinct
+    assert(dirsRead.nonEmpty && dirsRead.forall(_.contains("pred=imports")),
+      s"scan reads non-pruned partitions: $dirsRead")
   }
 
   test("MentionScan custom plan: equals typed flatMap, no object fences") {
