@@ -253,15 +253,37 @@ object DedupQueries {
         round(col("cos"), 4).as("cos"))
   }
 
-  private def simhash32Sql: String = {
+  /** The shared simhash CTE chain (no WITH keyword — callers prepend
+    * `WITH` or `WITH RECURSIVE`).
+    */
+  private def simhash32Ctes: String = {
     val bits = (0 until 32)
       .map(b => s"(CASE WHEN sum(2*((h>>$b)&1)-1) > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT) AS h
       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
       |        FROM documents)),
       |fp AS (SELECT doc_id, $bits AS fp FROM tok GROUP BY doc_id)""".stripMargin
+  }
+  private def simhash32Sql: String = "WITH " + simhash32Ctes
+
+  /** Banded simhash candidate pairs + exact hamming verify (Spark side of
+    * dedup_simhash_pairs; also feeds dedup_cluster_resolve).
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val fp = simhash32(docs)
+    val banded = fp.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bh", expr("shiftright(fp, 8*b) & 255"))
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+      .filter(expr("bit_count(fa ^ fb) <= 3"))
+      .select(col("a_id"), col("b_id"), expr("bit_count(fa ^ fb)").as("hamming"))
   }
 
   val entries: Map[String, Q] = Map(
@@ -343,19 +365,46 @@ object DedupQueries {
         |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, bit_count(xor(fa, fb)) AS hamming
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin)(
+      (s, d) => simhashPairs(t(s, d, "documents"))),
+
+    // Near-dup CLUSTER RESOLUTION (round 3): the step after candidate
+    // pairs that an actual dedup pipeline needs — connected components
+    // over the (oracled) simhash hamming<=1 pair graph, every document
+    // mapped to its cluster canonical (min doc_id; keep-one-per-cluster
+    // is then a filter). Runs the SAME distributed star-contraction CC as
+    // the KG path; hamming<=1 is non-transitive, so components are real
+    // closures, not fingerprint groups. Node ids are zero-padded so
+    // string min == numeric min in both engines.
+    "dedup_cluster_resolve" -> Q.withOracle(
+      s"""WITH RECURSIVE $simhash32Ctes,
+        |banded AS (
+        |  SELECT doc_id, fp, b, (fp >> (8*b)) & 255 AS bh
+        |  FROM fp, (SELECT unnest([0,1,2,3]) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |  ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fp, b.fp)) <= 1),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION SELECT b_id, a_id FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.comp FROM e JOIN walk w ON w.node = e.dst),
+        |comp AS (SELECT node, min(comp) AS canon FROM walk GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS canon_id
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin)(
       (s, d) => {
-        val fp = simhash32(t(s, d, "documents"))
-        val banded = fp.select(col("doc_id"), col("fp"),
-            explode(sequence(lit(0), lit(3))).as("b"))
-          .withColumn("bh", expr("shiftright(fp, 8*b) & 255"))
-        banded.as("a").join(banded.as("b"),
-            col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            col("a.fp").as("fa"), col("b.fp").as("fb"))
-          .distinct()
-          .filter(expr("bit_count(fa ^ fb) <= 3"))
-          .select(col("a_id"), col("b_id"), expr("bit_count(fa ^ fb)").as("hamming"))
+        val docs = t(s, d, "documents")
+        val edges = simhashPairs(docs).filter(col("hamming") <= 1)
+          .select(lpad(col("a_id").cast("string"), 12, "0").as("src"),
+            lpad(col("b_id").cast("string"), 12, "0").as("dst"))
+        val comps = graft.kg.Canonicalize.connectedComponents(edges)
+          .select(col("node").cast("bigint").as("doc_id"),
+            col("comp").cast("bigint").as("canon"))
+        docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canon"), col("doc_id")).as("canon_id"))
       }),
 
     // embedding-cosine near-dup, blocked by the deterministic IVF cluster

@@ -17,7 +17,7 @@ import graft.kg._
   * time) from a stage-completion listener. Findings land in
   * BENCH/PROFILE_4_16.md.
   *
-  * Usage: runMain graft.tools.Profile416 [nfiles] [runs]
+  * Usage: runMain graft.tools.Profile416 [nfiles] [runs] [cores,cores,...]
   */
 object Profile416 {
 
@@ -48,6 +48,8 @@ object Profile416 {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 400000
     val runs = if (args.length > 1) args(1).toInt else 2
+    val coresList = if (args.length > 2) args(2).split(",").toSeq.map(_.toInt)
+                    else Seq(4, 16)
     val corpusDir = s"/tmp/graft_bench_corpus_$n"
     if (!new java.io.File(corpusDir).exists()) {
       val s = SparkSession.builder().master("local[32]")
@@ -60,7 +62,7 @@ object Profile416 {
       s.stop()
     }
 
-    for (cores <- Seq(4, 16)) {
+    for (cores <- coresList) {
       val s = SparkSession.builder().master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.adaptive.enabled", "true")

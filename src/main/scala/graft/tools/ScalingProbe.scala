@@ -7,19 +7,22 @@ import graft.kg._
 /** One-off scaling probe over the SAME fused DAG Bench times
   * (Extract.canonicalTriples). Usage:
   *   runMain graft.tools.ScalingProbe <nfiles> <cores[:shufflePartitions],...> [runs]
-  * e.g. ScalingProbe 400000 16,4,16:64,4:64 2
+  * cores[:shufflePartitions[:maxPartMB]] — e.g. 8:8:16 reads with
+  * 16 MB scan splits. Optional 4th arg: corpus dir override (e.g. the
+  * skew-clustered corpus).
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
     val configs = args(1).split(",").map { spec =>
       spec.split(":") match {
-        case Array(c) => (c.toInt, c.toInt)
-        case Array(c, p) => (c.toInt, p.toInt)
+        case Array(c) => (c.toInt, c.toInt, 128)
+        case Array(c, p) => (c.toInt, p.toInt, 128)
+        case Array(c, p, m) => (c.toInt, p.toInt, m.toInt)
       }
     }
     val runs = if (args.length > 2) args(2).toInt else 2
-    val corpusDir = s"/tmp/graft_bench_corpus_$n"
+    val corpusDir = if (args.length > 3) args(3) else s"/tmp/graft_bench_corpus_$n"
 
     // materialize the deterministic corpus once (generation excluded)
     if (!new java.io.File(corpusDir).exists()) {
@@ -33,10 +36,11 @@ object ScalingProbe {
       s.stop()
     }
 
-    for ((c, p) <- configs) {
+    for ((c, p, m) <- configs) {
       val s = SparkSession.builder().master(s"local[$c]")
         .config("spark.sql.shuffle.partitions", p.toString)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", (m * 1024L * 1024L).toString)
         .config("spark.ui.enabled", "false").getOrCreate()
       import s.implicits._
       s.sparkContext.setLogLevel("WARN")
@@ -54,7 +58,7 @@ object ScalingProbe {
         (System.nanoTime() - t0) / 1e9
       }
       val best = times.min
-      println(f"[probe] cores=$c shuffle=$p triples=$cnt best=$best%.2fs " +
+      println(f"[probe] cores=$c shuffle=$p maxPart=${m}MB triples=$cnt best=$best%.2fs " +
         f"thr=${cnt / best}%.0f/s all=${times.map(t => f"$t%.2f").mkString(",")}")
       s.stop()
     }
