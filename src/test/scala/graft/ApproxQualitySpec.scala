@@ -23,6 +23,32 @@ class ApproxQualitySpec extends SparkTestBase {
     }
   }
 
+  test("cluster resolution: identical docs resolve to one canonical; transitive chain closes") {
+    import spark.implicits._
+    // 10 exact copies (hamming 0, all bands collide) + unrelated docs.
+    // The resolver must map every copy to the min doc_id of the cluster,
+    // and leave singletons mapped to themselves.
+    val dup = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val docs = ((0 until 10).map(i => (100L + i, dup)) ++
+      (0 until 20).map(i => (200L + i, s"unrelated${i}a unrelated${i}b unrelated${i}c")))
+      .toDF("doc_id", "text")
+    val edges = queries.DedupQueries.simhashPairs(docs)
+      .filter(col("hamming") <= 1)
+      .select(lpad(col("a_id").cast("string"), 12, "0").as("src"),
+        lpad(col("b_id").cast("string"), 12, "0").as("dst"))
+    val resolved = kg.Canonicalize.connectedComponents(edges)
+      .select(col("node").cast("bigint").as("doc_id"),
+        col("comp").cast("bigint").as("canon"))
+      .as[(Long, Long)].collect().toMap
+    (100L until 110L).foreach { i =>
+      assert(resolved(i) == 100L, s"doc $i resolved to ${resolved(i)}")
+    }
+    // unrelated docs never join the dup cluster
+    resolved.keys.filter(_ >= 200L).foreach { i =>
+      assert(resolved(i) != 100L, s"unrelated doc $i joined the dup cluster")
+    }
+  }
+
   test("MinHash-LSH recall >= 0.9 on planted near-dup clusters (Jaccard >= 0.8)") {
     import spark.implicits._
     // same planted-cluster recipe as the Jaccard blocking spec: 60 bases x
