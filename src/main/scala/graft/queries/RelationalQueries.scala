@@ -406,7 +406,8 @@ object RelationalQueries {
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin)(
       (s, d) => {
-        val dir = "/tmp/graft_sink_docs_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = Tables.cleanupOnExit(
+          "/tmp/graft_sink_docs_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
         t(s, d, "documents").write.mode("overwrite").partitionBy("lang").parquet(dir)
         s.read.parquet(dir).filter(col("lang") === "en")
           .groupBy("source")

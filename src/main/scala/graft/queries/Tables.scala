@@ -22,6 +22,28 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Register a scratch directory (e.g. the sink_partition_prune
+    * write-target) for recursive deletion at JVM exit — the query's
+    * result is read lazily from the dir, so it cannot be deleted
+    * inline; a shutdown hook keeps /tmp clean across runs.
+    */
+  private val cleanupDirs = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.keySet().forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }))
+  def cleanupOnExit(dir: String): String = {
+    hookInstalled
+    cleanupDirs.put(dir, true)
+    dir
+  }
+
   /** Deterministic synthetic-corpus size for a testdata dir: scale the
     * KG corpus with the scale factor (sf0.01 → 2,000 files, sf0.1 →
     * 20,000).

@@ -86,11 +86,15 @@ object Profile416 {
           sink.reset()
           val t0 = System.nanoTime()
           job
-          // listener bus is async; give stage-completed events time to drain
+          // capture wall BEFORE the listener-drain sleep: the 300 ms
+          // drain is measurement plumbing, not job time (it was a fixed
+          // ~7% bias on the ~4 s calibration jobs)
+          val elapsed = (System.nanoTime() - t0) / 1e9
           Thread.sleep(300)
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          println("[profile] " + sink.report(s"$label@$cores", (System.nanoTime() - t0) / 1e9))
+          best = math.min(best, elapsed)
+          println("[profile] " + sink.report(s"$label@$cores", elapsed))
         }
+        println(f"[profile] $label@$cores best=$best%.3f s over $runs runs")
       }
 
       timed("warmup") { Extract.canonicalTriples(hashed, fnAliases, canonB).count() }
