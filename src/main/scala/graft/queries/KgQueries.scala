@@ -19,44 +19,123 @@ object KgQueries {
       .as[HashedFile]
   }
 
+  /** Sanitize a document word into a guaranteed-identifier token:
+    * lower-case, strip everything outside [a-z0-9_], prefix "w_" (so it
+    * always starts with a letter). Applied IDENTICALLY on the Spark side
+    * (corpus builder) and in the DuckDB oracles — the round-3 version
+    * relied on the fixture's words happening to be identifier-shaped,
+    * which was a silent precondition (round-3 advice).
+    */
+  private def sanitizeWord(c: org.apache.spark.sql.Column) =
+    concat(lit("w_"), regexp_replace(lower(c), "[^a-z0-9_]", ""))
+
+  private val duckS1 =
+    "'w_' || regexp_replace(lower(string_split(text, ' ')[1]), '[^a-z0-9_]', '', 'g')"
+  private val duckSn =
+    "'w_' || regexp_replace(lower(string_split(text, ' ')[-1]), '[^a-z0-9_]', '', 'g')"
+
   /** A corpus of synthetic python files built COLUMN-WISE from the
-    * `documents` table (import first word, import last word, def first
-    * word) — DuckDB can compute the expected mentions directly from the
-    * same words, which puts the REAL mention scanner (regex line scan,
-    * char offsets, norm) under the driver's rows+schema+hash gate
-    * instead of only golden tests.
+    * `documents` table — DuckDB can compute the expected mentions AND
+    * canonical triples directly from the same words, which puts the REAL
+    * mention scanner (regex line scan, char offsets, norm), the pair
+    * generator + logistic scorer, and the canonicalizing triple emitter
+    * under the driver's rows+schema+hash gate instead of only golden
+    * tests. Shape per doc (s1/sn = sanitized first/last text word,
+    * pad = n_chars % 45):
+    *
+    * {{{
+    * import s1          // line 0            → (fileSym, imports, s1)
+    * import sn          // line 1            → (fileSym, imports, sn)
+    *                    // line 2
+    * def s1(a, b):      // line 3            → (fileSym, defines_function, s1)
+    *     pass           // line 4
+    * # p  × pad         // lines 5..4+pad
+    * y = s1(1)          // line 5+pad        → (s1, calls, s1)  d = 2+pad
+    * z = sn(2)          // line 6+pad        → (s1, calls, sn)  d = 3+pad
+    * }}}
+    *
+    * pad spans [0, 44], so the call line-distances cross the logistic
+    * threshold sigmoid(4 − 0.1·d) ≥ 0.5 ⇔ d ≤ 40 — some calls are
+    * DROPPED by stage 3, putting the score gate itself under the oracle.
+    * Docs share repos (doc_id % 50) so per-repo counts aggregate
+    * multiple docs.
     */
   private def docCodeCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    val w1 = element_at(split(col("text"), " "), 1)
-    val wn = element_at(split(col("text"), " "), -1)
+    val s1 = sanitizeWord(element_at(split(col("text"), " "), 1))
+    val sn = sanitizeWord(element_at(split(col("text"), " "), -1))
     t(s, d, "documents").select(
-      col("doc_id").cast("string").as("repo"),
+      concat(lit("r"), lpad((col("doc_id") % 50).cast("string"), 3, "0")).as("repo"),
       concat(lit("doc/"), col("doc_id")).as("path"),
       col("source").as("commit"),
       lit("python").as("lang"),
-      concat(lit("import "), w1, lit("\nimport "), wn,
-        lit("\n\ndef "), w1, lit("(a, b):\n    pass\n")).as("content"))
+      concat(lit("import "), s1, lit("\nimport "), sn,
+        lit("\n\ndef "), s1, lit("(a, b):\n    pass\n"),
+        expr("repeat('# p\\n', cast(n_chars % 45 as int))"),
+        lit("y = "), s1, lit("(1)\nz = "), sn, lit("(2)\n")).as("content"))
       .withColumn("file_sha", sha2(col("content"), 256))
       .as[HashedFile]
   }
 
   /** Oracle for the mention-count keys: the scanner must find exactly
-    * the import/def identifiers the content was built from.
+    * the import/def identifiers the content was built from (the call
+    * sites need a non-empty alias dictionary, so with the empty
+    * broadcast they contribute no mentions).
     */
   private val mentionCountsSql =
-    """WITH b AS (SELECT doc_id, string_split(text, ' ')[1] AS w1,
-      |                  string_split(text, ' ')[-1] AS wn FROM documents),
-      |m AS (SELECT doc_id, 'import' AS kind, w1 AS norm FROM b
-      |      UNION ALL SELECT doc_id, 'import', wn FROM b
-      |      UNION ALL SELECT doc_id, 'def', w1 FROM b)
+    s"""WITH b AS (SELECT doc_id, $duckS1 AS s1, $duckSn AS sn FROM documents),
+      |m AS (SELECT doc_id, 'import' AS kind, s1 AS norm FROM b
+      |      UNION ALL SELECT doc_id, 'import', sn FROM b
+      |      UNION ALL SELECT doc_id, 'def', s1 FROM b)
       |SELECT doc_id, kind, norm, count(*) AS n
       |FROM m GROUP BY doc_id, kind, norm""".stripMargin
 
   private def mentionCounts(mentions: org.apache.spark.sql.DataFrame) =
-    mentions.groupBy(col("repo").cast("bigint").as("doc_id"),
+    mentions.groupBy(
+        element_at(split(col("path"), "/"), -1).cast("bigint").as("doc_id"),
         col("kind"), col("norm"))
       .agg(count(lit(1)).as("n"))
+
+  /** Oracle for kg_triples_counts: the full DAG's per-(repo, subj, pred,
+    * obj) triple counts + max score, reproduced in DuckDB from the same
+    * words. Mirrors, stage by stage: per-file relation emission
+    * (imports/defines_function at score 1; calls scored
+    * 1/(1+exp(−(4 − 0.1·d))) with the ≥ 0.5 keep-gate), per-file dedup,
+    * the canonical link map (min word per length group), canonicalizing
+    * join, and the per-(…, fileSha) max-score dedup. Score arithmetic is
+    * forced to DOUBLE on both sides, so the kept/dropped decision and
+    * round(max(score), 6) are bit-identical IEEE computations.
+    */
+  private val kgTriplesCountsSql =
+    s"""WITH b AS (
+      |  SELECT doc_id,
+      |         'r' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0') || ':doc/'
+      |             || CAST(doc_id AS VARCHAR) AS fs,
+      |         $duckS1 AS s1, $duckSn AS sn, n_chars % 45 AS pad
+      |  FROM documents),
+      |words AS (SELECT DISTINCT w FROM
+      |          (SELECT s1 AS w FROM b UNION ALL SELECT sn FROM b)),
+      |canon AS (SELECT w, min(w) OVER (PARTITION BY strlen(w)) AS c FROM words),
+      |rawr AS (
+      |  SELECT doc_id, fs AS subj, 'imports' AS pred, s1 AS obj,
+      |         CAST(1.0 AS DOUBLE) AS score FROM b
+      |  UNION ALL SELECT doc_id, fs, 'imports', sn, CAST(1.0 AS DOUBLE) FROM b
+      |  UNION ALL SELECT doc_id, fs, 'defines_function', s1, CAST(1.0 AS DOUBLE) FROM b
+      |  UNION ALL SELECT doc_id, s1, 'calls', s1,
+      |    1.0/(1.0 + exp(-(CAST(4.0 AS DOUBLE) - CAST(0.1 AS DOUBLE) * (2 + pad)))) FROM b
+      |  UNION ALL SELECT doc_id, s1, 'calls', sn,
+      |    1.0/(1.0 + exp(-(CAST(4.0 AS DOUBLE) - CAST(0.1 AS DOUBLE) * (3 + pad)))) FROM b),
+      |mapped AS (
+      |  SELECT r.doc_id, coalesce(cs.c, r.subj) AS subj, r.pred,
+      |         coalesce(co.c, r.obj) AS obj, max(r.score) AS score
+      |  FROM rawr r
+      |  LEFT JOIN canon cs ON cs.w = r.subj
+      |  LEFT JOIN canon co ON co.w = r.obj
+      |  WHERE r.score >= 0.5
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT 'r' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0') AS repo,
+      |       subj, pred, obj, count(*) AS n, round(max(score), 6) AS max_score
+      |FROM mapped GROUP BY 1, 2, 3, 4""".stripMargin
 
   val entries: Map[String, Q] = Map(
 
@@ -155,6 +234,33 @@ object KgQueries {
       val rels = Extract.scoredRelations(hashedCorpus(s, d),
         Extract.broadcastFnAliases(s, dict))
       Canonicalize.toTriples(rels, Canonicalize.linkMap(dict)).toDF()
+    }),
+
+    // T1+T2+T7 oracled (round 4): the full DAG — REAL scanner, pair
+    // generator, logistic scorer with its ≥0.5 keep-gate, and the REAL
+    // canonicalizing triple emitter (Canonicalize.toTriples: broadcast
+    // link joins + per-(…, fileSha) max-score dedup) — over the
+    // docCodeCorpus, reduced to per-(repo, subj, pred, obj) counts +
+    // max score. The alias dictionary is every sanitized corpus word
+    // (so call sites register), and the link map is SQL-expressible by
+    // construction: canonical = min word per length group. Closes the
+    // last oracle gap the round-3 verdict named (kg_triples itself
+    // stays on the dictionary-driven LSH link map, not expressible).
+    "kg_triples_counts" -> Q.withOracle(kgTriplesCountsSql)((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val s1 = sanitizeWord(element_at(split(col("text"), " "), 1))
+      val sn = sanitizeWord(element_at(split(col("text"), " "), -1))
+      val words = docs.select(s1.as("w")).unionAll(docs.select(sn.as("w"))).distinct()
+      val aliases = s.sparkContext.broadcast(words.as[String].collect().toSet)
+      val links = words
+        .withColumn("canonical", min(col("w")).over(Window.partitionBy(length(col("w")))))
+        .select(col("w").as("norm"), col("canonical"))
+        .as[graft.kg.CanonicalLink]
+      Canonicalize.toTriples(Extract.scoredRelations(docCodeCorpus(s, d), aliases), links)
+        .groupBy("repo", "subj", "pred", "obj")
+        .agg(count(lit(1)).as("n"), round(max("score"), 6).as("max_score"))
     }),
 
     // T1 at gazetteer scale: Aho-Corasick multi-pattern scan — ONE pass
