@@ -111,29 +111,28 @@ object Canonicalize {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     // LAZY localCheckpoint: the sig() aggregation is the action that
-    // materializes each checkpoint, so a convergence check costs ONE
-    // Spark job, not two (eager checkpoint + agg). Each check also runs
-    // TWO large/small alternations ("double-step"): total contraction
-    // work is unchanged (the same O(log² n) alternations run), but the
-    // fixed per-job scheduler latency — which dominates on the KB-scale
-    // oracle graphs — is paid half as often. Post-fixpoint alternations
-    // are idempotent (the star forest maps to itself), so checking the
-    // signature every second alternation never misses convergence.
+    // materializes each checkpoint, so a convergence round costs ONE
+    // Spark job, not two (eager checkpoint + agg). One large/small
+    // alternation per round — composing several alternations into one
+    // plan before checkpointing is a trap: each star references its
+    // input ~3× (symmetrize + min-table + join), so k stacked stars
+    // duplicate the un-materialized input subtree ~3^k times and the
+    // optimizer/codegen cost explodes (measured: a 2-alternation
+    // "double-step" made the round SLOWER, not faster).
     var cur = edges.select($"src", $"dst").where($"src" =!= $"dst")
       .distinct().localCheckpoint(eager = false)
-    // carry the signature forward: the previous check's sig(next) is
-    // this check's sig(cur)
+    // carry the signature forward: the previous round's sig(next) is
+    // this round's sig(cur)
     var curSig = sig(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(smallStar(largeStar(cur))))
-        .localCheckpoint(eager = false)
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next
       curSig = nextSig
-      iter += 2
+      iter += 1
     }
     require(converged, s"star-contraction CC did not converge in $maxIters rounds")
     // cur is now a forest of stars root←node; roots map to themselves
