@@ -184,6 +184,16 @@ object Bench {
     val pass1 = keys.collect {
       case (name, fn) if !singlePassKeys(name) => name -> timeKey(name, fn)
     }.toMap
+    // the single-pass keys get a miniature UNTIMED warmup instead of
+    // pass 1 (pre-registered): a 3-edge connected-components run warms
+    // the star-contraction codegen/checkpoint paths, so their one timed
+    // run is JIT-warm exactly like every min-of-2 key's second pass —
+    // without paying the full fixed-latency key twice
+    locally {
+      import suiteSpark.implicits._
+      val tiny = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+      Canonicalize.connectedComponents(tiny).count(): Unit
+    }
     val pass2 = keys.map { case (name, fn) => name -> timeKey(name, fn) }.toMap
     val results = keys.map { case (name, _) =>
       val (tB, okB) = pass2(name)
@@ -317,26 +327,31 @@ object Bench {
     val rounds28 = scala.collection.mutable.ArrayBuffer.empty[Round]
     var budgetStopped = false
     while (rounds28.size < maxRounds && !budgetStopped) {
-      // degrade (never un-degrade) until the next round fits the budget
-      // net of the reserve for the skew + context blocks
-      while (level < 3 &&
-             elapsed() + estRound(level, 2, 8) + estReserve(3, 2) > budgetS) {
+      // pick the degradation level by projecting the FULL remaining plan
+      // (all rounds up to maxRounds + the skew/context reserve): per the
+      // pre-registered order, per-round cost degrades FIRST (calibration
+      // once per side, then reps 3→2) so the budget preserves ROUND
+      // COUNT; only when even level-2 rounds don't all fit does the
+      // count-stop rule below start trimming rounds. Never un-degrades.
+      while (level < 2 &&
+             elapsed() + estRound(level, 2, 8) * (maxRounds - rounds28.size) +
+               estReserve(3, 2) > budgetS) {
         level += 1
-        if (level < 3) notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
+        notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
       }
-      if (level >= 3 && rounds28.size >= minRounds) {
+      val nextFits =
+        elapsed() + estRound(level, 2, 8) + estReserve(3, 2) <= budgetS
+      if (!nextFits && rounds28.size >= minRounds) {
         notes += s"budget_stop_after_${rounds28.size}_rounds"
         budgetStopped = true
       } else {
-        if (level >= 3 && rounds28.size < minRounds &&
-            !notes.exists(_.startsWith("budget_overrun")))
+        if (!nextFits && !notes.exists(_.startsWith("budget_overrun")))
           notes += s"budget_overrun_to_min_${minRounds}_rounds"
-        val effLevel = math.min(level, 2)
-        val (reps, calibSlots) = levelParams(effLevel)
+        val (reps, calibSlots) = levelParams(level)
         val r = round(2, 8, corpusDir, reps, calibSlots)
         rounds28 += r
         emit(s"""{"metric":"scaling_round","block":"headline","idx":${rounds28.size},""" +
-          s""""level":$effLevel,${roundJson(r, 2, 8)},"elapsed_s":${f(elapsed())}}""")
+          s""""level":$level,${roundJson(r, 2, 8)},"elapsed_s":${f(elapsed())}}""")
       }
     }
     val t2 = rounds28.map(_.tLow).min

@@ -74,7 +74,14 @@ object Canonicalize {
     import spark.implicits._
 
     // large-star: ∀u, m = min(Γ(u) ∪ {u}); connect every neighbor v > u
-    // to m. Γ over the symmetrized edge set.
+    // to m. Γ over the symmetrized edge set. NO trailing distinct: the
+    // output may carry duplicate pairs, but it cannot GROW (the min
+    // table m is unique per src, so the join emits ≤ |sym| + |m| rows),
+    // and small-star's groupBy/join are duplicate-insensitive — its
+    // round-end distinct restores set semantics where it matters (the
+    // checkpointed + signatured frame). Saves one full shuffle of the
+    // edge set per round; per-round stage latency dominates on small
+    // graphs and shuffle volume on large ones — this trims both.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select($"src", $"dst")
         .unionAll(e.select($"dst".as("src"), $"src".as("dst")))
@@ -86,7 +93,6 @@ object Canonicalize {
         .select($"dst".as("src"), $"m".as("dst"))
         .unionAll(m.select($"src", $"m".as("dst")))
         .where($"src" =!= $"dst")
-        .distinct()
     }
 
     // small-star: orient every edge max→min; ∀u, m = min(N(u) ∪ {u});
