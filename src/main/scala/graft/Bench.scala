@@ -358,13 +358,16 @@ object Bench {
     val t8 = rounds28.map(_.tHigh).min
 
     // skew block: up to 3 rounds over the repo-clustered corpus (one A/B
-    // slot pair per round; each slot is already min-of-2 runs); rounds
-    // beyond the first are dropped if the 4→16 reserve would be eaten
+    // slot pair per round; each slot is already min-of-2 runs). The
+    // reserve here protects only ONE context round — the 4→16 block is
+    // explicitly context, not a gate, and drops first; a 2-round skew
+    // median is fragile against a single noise window, so the third
+    // skew round outranks the second context round.
     val roundsSkew = scala.collection.mutable.ArrayBuffer.empty[Round]
     while (roundsSkew.size < 3 &&
            (roundsSkew.isEmpty ||
              elapsed() + (estSlot(8, false) + estSlot(2, false)) +
-               estReserve(0, 2) <= budgetS)) {
+               estReserve(0, 1) <= budgetS)) {
       val r = round(2, 8, skewDir, 1, 0)
       roundsSkew += r
       emit(s"""{"metric":"scaling_round","block":"skew","idx":${roundsSkew.size},""" +
