@@ -162,7 +162,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "9").toInt
+    val maxRounds = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "9").toInt)
     val baseReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val minRounds = math.min(5, maxRounds)
 
@@ -333,14 +333,18 @@ object Bench {
       // once per side, then reps 3→2) so the budget preserves ROUND
       // COUNT; only when even level-2 rounds don't all fit does the
       // count-stop rule below start trimming rounds. Never un-degrades.
+      // the reserve protects the full skew block but only ONE context
+      // round: headline rounds are the gate and the 4→16 block is
+      // declared to drop first — reserving both context rounds here
+      // would sacrifice a gate round to protect a non-gate round
       while (level < 2 &&
              elapsed() + estRound(level, 2, 8) * (maxRounds - rounds28.size) +
-               estReserve(3, 2) > budgetS) {
+               estReserve(3, 1) > budgetS) {
         level += 1
         notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
       }
       val nextFits =
-        elapsed() + estRound(level, 2, 8) + estReserve(3, 2) <= budgetS
+        elapsed() + estRound(level, 2, 8) + estReserve(3, 1) <= budgetS
       if (!nextFits && rounds28.size >= minRounds) {
         notes += s"budget_stop_after_${rounds28.size}_rounds"
         budgetStopped = true
@@ -410,6 +414,10 @@ object Bench {
       "kg_scaling_efficiency_skew" -> medOf(roundsSkew.toSeq, _.eff),
       "kg_scaling_efficiency_4_16" -> medOf(rounds416.toSeq, _.eff),
       "hw_ceiling_efficiency_4_16" -> medOf(rounds416.toSeq, _.ceil))
+    // count-stop is the ladder's last rung: surface it numerically, not
+    // only as a budget_notes string
+    val levelFinal =
+      if (budgetStopped || notes.exists(_.startsWith("budget_overrun"))) 3 else level
     val qsAll = (results.map { case (k, (t, _)) => k -> t } ++ extra)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -422,6 +430,7 @@ object Bench {
       s""""scaling_rounds_skew":${roundsJson(roundsSkew.toSeq, 2, 8)},""" +
       s""""scaling_rounds_4_16":${roundsJson(rounds416.toSeq, 4, 16)},""" +
       s""""budget_s":${f(budgetS)},"part2_elapsed_s":${f(elapsed())},""" +
-      s""""degrade_level_final":$level,"budget_notes":$notesJson,"sf":"$sfDir"}""")
+      s""""degrade_level_final":$levelFinal,"headline_rounds":${rounds28.size},""" +
+      s""""budget_notes":$notesJson,"sf":"$sfDir"}""")
   }
 }

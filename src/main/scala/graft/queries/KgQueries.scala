@@ -248,16 +248,20 @@ object KgQueries {
     // stays on the dictionary-driven LSH link map, not expressible).
     "kg_triples_counts" -> Q.withOracle(kgTriplesCountsSql)((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val s1 = sanitizeWord(element_at(split(col("text"), " "), 1))
       val sn = sanitizeWord(element_at(split(col("text"), " "), -1))
-      val words = docs.select(s1.as("w")).unionAll(docs.select(sn.as("w"))).distinct()
-      val aliases = s.sparkContext.broadcast(words.as[String].collect().toSet)
-      val links = words
-        .withColumn("canonical", min(col("w")).over(Window.partitionBy(length(col("w")))))
-        .select(col("w").as("norm"), col("canonical"))
-        .as[graft.kg.CanonicalLink]
+      // ONE distinct-word job feeds both dictionary artifacts: the alias
+      // broadcast and the link map (canonical = min word per length
+      // group, computed on the driver over the vocab-bounded word set —
+      // a second scan+window over `documents` would recompute the same
+      // 31-word set inside every timed run)
+      val wordSeq = docs.select(s1.as("w")).unionAll(docs.select(sn.as("w")))
+        .distinct().as[String].collect().toSeq
+      val aliases = s.sparkContext.broadcast(wordSeq.toSet)
+      val links = wordSeq.groupBy(_.length).valuesIterator
+        .flatMap { ws => val m = ws.min; ws.map(w => graft.kg.CanonicalLink(w, m)) }
+        .toSeq.toDS()
       Canonicalize.toTriples(Extract.scoredRelations(docCodeCorpus(s, d), aliases), links)
         .groupBy("repo", "subj", "pred", "obj")
         .agg(count(lit(1)).as("n"), round(max("score"), 6).as("max_score"))
