@@ -42,6 +42,34 @@ import graft.kg._
   *     dedup_cluster_resolve) run ONCE, in pass 2 only (JIT-warm), not
   *     min-of-2 — their cost is ~fixed job latency × contraction
   *     rounds, and paying it twice per pass was ~25 s of pure rent.
+  *
+  * ROUND-5 changes (pre-registered in BENCH/BASELINE.md; the r4 driver
+  * artifact PASSED the scaling gate but arrived with `parsed:null`
+  * because the final `"metric":"total"` line carried all 72 per-key
+  * timings twice and outgrew the driver's bounded tail capture, and the
+  * whole run finished at 57:46 — a whisker under the ~60-min ceiling —
+  * because the budget only governed part 2):
+  *
+  *  4. WHOLE-RUN budget: `SPARK_GRAFT_BENCH_BUDGET_S` now counts from
+  *     main() entry, so a noisy part 1 / corpus build shrinks part 2
+  *     instead of overrunning the driver's outer wall.
+  *  5. COMPACT final line: the last stdout line is gate-only (< 2 KB —
+  *     scaling medians via the kg_* metrics map, per-round t/eff
+  *     arrays, budget fields, suite total, failed keys). Per-key suite
+  *     timings live ONLY in the earlier `"metric":"suite"` line and in
+  *     the JSONL mirror file (`SPARK_GRAFT_BENCH_JSONL`, default
+  *     BENCH/last_run.jsonl — survives stdout truncation entirely).
+  *  6. Degradation level 3: reps=1 per headline round (each slot stays
+  *     min-of-2 runs, so the session-warmup bias correction survives).
+  *     Count-stop and floor-overrun are surfaced as their own booleans
+  *     (`count_stop`, `budget_overrun`) instead of being folded into
+  *     `degrade_level_final` (round-4 advice).
+  *  7. Skew block: every round is budget-checked (the first round's
+  *     unconditional bypass was a residual rc=124 risk — round-4
+  *     advice), but rounds 1–2 are a disclosed FLOOR (the gate context
+  *     needs a ≥2-round skew median) that runs even over budget with
+  *     `skew_overrun_to_min_2_rounds` in budget_notes; round 3 is
+  *     strictly budget-checked.
   */
 object Bench {
 
@@ -150,16 +178,26 @@ object Bench {
 
   /** Emit one JSON object as its own stdout line, flushed immediately —
     * the driver's capture of a timed-out run keeps every line printed
-    * so far.
+    * so far. Every line is mirrored to the JSONL file, so per-key suite
+    * timings survive even when stdout capture truncates (round-5).
     */
+  private var mirror: java.io.PrintWriter = null
   private def emit(json: String): Unit = {
     println(json)
     Console.out.flush()
     System.out.flush()
+    if (mirror != null) { mirror.println(json); mirror.flush() }
   }
 
   def main(args: Array[String]): Unit = {
+    val mainStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val jsonlPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSONL", "BENCH/last_run.jsonl")
+    try {
+      val jf = new java.io.File(jsonlPath)
+      Option(jf.getParentFile).foreach(_.mkdirs())
+      mirror = new java.io.PrintWriter(new java.io.FileWriter(jf, false))
+    } catch { case _: java.io.IOException => () } // mirror is best-effort
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
     val maxRounds = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "9").toInt)
@@ -213,8 +251,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val part1S = (System.nanoTime() - mainStart) / 1e9
     emit(s"""{"metric":"suite","value":${f(suiteTotal)},"unit":"sec","queries":$qs,""" +
-      s""""queries_detail":$detail,"failed_queries":$failed,"sf":"$sfDir"}""")
+      s""""queries_detail":$detail,"failed_queries":$failed,""" +
+      s""""elapsed_s":${f(part1S)},"sf":"$sfDir"}""")
 
     // ---- part 2: KG throughput scaling ----
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
@@ -238,9 +278,14 @@ object Bench {
     }
     suiteSpark.stop()
 
+    // WHOLE-RUN clock (round-5): the budget now charges part 1 + corpus
+    // materialization too — elapsed() is measured from main() entry, so
+    // a noisy suite shrinks part 2 instead of overrunning the driver's
+    // outer ~60-min ceiling (r4 finished at 57:46 with part 2 alone at
+    // 1990 s against a part-2-only budget of 1500 s).
     val part2Start = System.nanoTime()
-    def elapsed(): Double = (System.nanoTime() - part2Start) / 1e9
-    def remaining(): Double = budgetS - elapsed()
+    def elapsed(): Double = (System.nanoTime() - mainStart) / 1e9
+    def part2Elapsed(): Double = (System.nanoTime() - part2Start) / 1e9
     val notes = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // last-observed slot wall per (cores, withCalib) — budget estimator
@@ -304,11 +349,16 @@ object Bench {
     //   level 0: reps=3, calibration in every slot   (full r3 protocol)
     //   level 1: reps=3, calibration once per side per round
     //   level 2: reps=2, calibration once per side per round
-    //   level 3: stop adding headline rounds (floor: minRounds)
+    //   level 3: reps=1 (round-5 rung — the slot itself stays min-of-2
+    //            runs, so the session-warmup bias correction survives;
+    //            the single rep carries calibration on both sides)
+    //   then: stop adding headline rounds (floor: minRounds) — surfaced
+    //   as count_stop/budget_overrun booleans, not a ladder level
     def levelParams(level: Int): (Int, Int) = level match {
       case 0 => (baseReps, baseReps)
       case 1 => (baseReps, 1)
-      case _ => (math.min(2, baseReps), 1)
+      case 2 => (math.min(2, baseReps), 1)
+      case _ => (1, 1)
     }
     def estRound(level: Int, low: Int, high: Int): Double = {
       val (reps, calibSlots) = levelParams(level)
@@ -337,7 +387,7 @@ object Bench {
       // round: headline rounds are the gate and the 4→16 block is
       // declared to drop first — reserving both context rounds here
       // would sacrifice a gate round to protect a non-gate round
-      while (level < 2 &&
+      while (level < 3 &&
              elapsed() + estRound(level, 2, 8) * (maxRounds - rounds28.size) +
                estReserve(3, 1) > budgetS) {
         level += 1
@@ -366,12 +416,20 @@ object Bench {
     // reserve here protects only ONE context round — the 4→16 block is
     // explicitly context, not a gate, and drops first; a 2-round skew
     // median is fragile against a single noise window, so the third
-    // skew round outranks the second context round.
+    // skew round outranks the second context round. Round-5: every
+    // round is budget-checked (the old first-round bypass was a
+    // residual rc=124 risk), but rounds 1–2 are a pre-registered FLOOR
+    // that runs even over budget, disclosed — a 1-round skew block was
+    // the r4 artifact's thinnest evidence.
     val roundsSkew = scala.collection.mutable.ArrayBuffer.empty[Round]
-    while (roundsSkew.size < 3 &&
-           (roundsSkew.isEmpty ||
-             elapsed() + (estSlot(8, false) + estSlot(2, false)) +
-               estReserve(0, 1) <= budgetS)) {
+    while (roundsSkew.size < 3 && {
+      val fits = elapsed() + (estSlot(8, false) + estSlot(2, false)) +
+        estReserve(0, 1) <= budgetS
+      if (!fits && roundsSkew.size < 2 &&
+          !notes.contains("skew_overrun_to_min_2_rounds"))
+        notes += "skew_overrun_to_min_2_rounds"
+      fits || roundsSkew.size < 2
+    }) {
       val r = round(2, 8, skewDir, 1, 0)
       roundsSkew += r
       emit(s"""{"metric":"scaling_round","block":"skew","idx":${roundsSkew.size},""" +
@@ -391,7 +449,13 @@ object Bench {
     }
     if (rounds416.size < 2) notes += s"context_4_16_truncated_to_${rounds416.size}_rounds"
 
-    // ---- final summary line (round-3 schema + budget disclosure) ----
+    // ---- final summary line (round-5: COMPACT and gate-only) ----
+    // The last stdout line must always survive the driver's bounded
+    // tail capture: r4's final line inlined all 72 per-key timings
+    // twice and arrived beheaded (parsed:null despite a passing gate).
+    // Per-key timings live ONLY in the earlier "suite" line and the
+    // JSONL mirror; the driver-contract `queries` map here carries the
+    // kg_* gate metrics. Target < 2 KB.
     def medOf(rs: Seq[Round], g: Round => Double): Double =
       if (rs.isEmpty) Double.NaN else median(rs.map(g))
     val t4 = if (rounds416.nonEmpty) rounds416.map(_.tLow).min else Double.NaN
@@ -414,23 +478,32 @@ object Bench {
       "kg_scaling_efficiency_skew" -> medOf(roundsSkew.toSeq, _.eff),
       "kg_scaling_efficiency_4_16" -> medOf(rounds416.toSeq, _.eff),
       "hw_ceiling_efficiency_4_16" -> medOf(rounds416.toSeq, _.ceil))
-    // count-stop is the ladder's last rung: surface it numerically, not
-    // only as a budget_notes string
-    val levelFinal =
-      if (budgetStopped || notes.exists(_.startsWith("budget_overrun"))) 3 else level
-    val qsAll = (results.map { case (k, (t, _)) => k -> t } ++ extra)
+    // count-stop (stopped adding rounds before maxRounds) and
+    // budget-overrun (the minimum floor ran past the budget) are
+    // DIFFERENT outcomes — each gets its own boolean instead of being
+    // folded into the ladder level (round-4 advice)
+    val countStop = budgetStopped
+    val budgetOverrun = notes.exists(n =>
+      n.startsWith("budget_overrun") || n.startsWith("skew_overrun"))
+    val qsExtra = extra
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // per-round t/eff only in the final line — the full t/c/eff/ceil/
+    // neff tuples were already emitted per-round as scaling_round lines
     def roundsJson(rs: Seq[Round], lo: Int, hi: Int): String =
-      rs.map(r => "{" + roundJson(r, lo, hi) + "}").mkString("[", ",", "]")
+      rs.map(r => s"""{"t$lo":${f(r.tLow)},"t$hi":${f(r.tHigh)},"eff":${f(r.eff)}}""")
+        .mkString("[", ",", "]")
     val notesJson = notes.map("\"" + _ + "\"").mkString("[", ",", "]")
     emit(s"""{"metric":"total","value":${f(suiteTotal)},"unit":"sec",""" +
-      s""""queries":$qsAll,"queries_detail":$detail,"failed_queries":$failed,""" +
+      s""""queries":$qsExtra,"failed_queries":$failed,""" +
       s""""scaling_rounds":${roundsJson(rounds28.toSeq, 2, 8)},""" +
       s""""scaling_rounds_skew":${roundsJson(roundsSkew.toSeq, 2, 8)},""" +
       s""""scaling_rounds_4_16":${roundsJson(rounds416.toSeq, 4, 16)},""" +
-      s""""budget_s":${f(budgetS)},"part2_elapsed_s":${f(elapsed())},""" +
-      s""""degrade_level_final":$levelFinal,"headline_rounds":${rounds28.size},""" +
+      s""""budget_s":${f(budgetS)},"elapsed_s":${f(elapsed())},""" +
+      s""""part1_elapsed_s":${f(part1S)},"part2_elapsed_s":${f(part2Elapsed())},""" +
+      s""""degrade_level_final":$level,"count_stop":$countStop,""" +
+      s""""budget_overrun":$budgetOverrun,"headline_rounds":${rounds28.size},""" +
       s""""budget_notes":$notesJson,"sf":"$sfDir"}""")
+    if (mirror != null) mirror.close()
   }
 }

@@ -436,6 +436,28 @@ object DedupQueries {
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin)(
       (s, d) => embedCosinePairs(t(s, d, "embeddings"))),
 
+    // the SAME blocked near-dup at cluster granularity k=16 — puts the
+    // scale knob itself under the rows+schema+hash gate (round-4 verdict
+    // optional #6: AnnSpec proves the k-bounds property at k=64; this
+    // proves a non-default k computes the exact blocked pair set). Finer
+    // clusters prune MORE true pairs — that is the declared recall/cost
+    // trade of raising k at 100 TB — and the oracle reproduces exactly
+    // that pruning with centroids vec_id < 16.
+    "dedup_embed_cosine_k16" -> Q.withOracle(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, emb, cent_id AS cluster FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin)(
+      (s, d) => embedCosinePairs(t(s, d, "embeddings"), k = 16)),
+
     // brute-force cosine top-k ANN baseline: 5 fixed query vectors
     // against the full table, top-10 each with total-order tiebreak
     "simsearch_bruteforce" -> Q.withOracle(

@@ -104,7 +104,10 @@ object KgQueries {
     * the canonical link map (min word per length group), canonicalizing
     * join, and the per-(…, fileSha) max-score dedup. Score arithmetic is
     * forced to DOUBLE on both sides, so the kept/dropped decision and
-    * round(max(score), 6) are bit-identical IEEE computations.
+    * round(max(score), 6) are bit-identical IEEE computations. The canon
+    * CTE groups by DuckDB `length(w)` (CHARACTER count) to match the
+    * Scala side's `wordSeq.groupBy(_.length)` — `strlen` (bytes) would
+    * agree only while sanitizeWord strips to ASCII (round-4 advice).
     */
   private val kgTriplesCountsSql =
     s"""WITH b AS (
@@ -115,7 +118,7 @@ object KgQueries {
       |  FROM documents),
       |words AS (SELECT DISTINCT w FROM
       |          (SELECT s1 AS w FROM b UNION ALL SELECT sn FROM b)),
-      |canon AS (SELECT w, min(w) OVER (PARTITION BY strlen(w)) AS c FROM words),
+      |canon AS (SELECT w, min(w) OVER (PARTITION BY length(w)) AS c FROM words),
       |rawr AS (
       |  SELECT doc_id, fs AS subj, 'imports' AS pred, s1 AS obj,
       |         CAST(1.0 AS DOUBLE) AS score FROM b

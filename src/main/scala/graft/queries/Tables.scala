@@ -31,12 +31,21 @@ object Tables {
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       cleanupDirs.keySet().forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(d))
+        // symlink-safe (round-4 advice): a planted symlink at the
+        // registered /tmp path must never let the hook walk into an
+        // arbitrary tree. Files.walk does NOT follow symlinks (no
+        // FOLLOW_LINKS), and a symlinked root is detected with
+        // NOFOLLOW_LINKS and deleted as a link, never traversed.
+        import java.nio.file.{Files, LinkOption, Paths}
+        val p = Paths.get(d)
+        try {
+          if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f): Unit)
+            finally walk.close()
+          } else Files.deleteIfExists(p): Unit
+        } catch { case _: java.io.IOException => () }
       }))
   def cleanupOnExit(dir: String): String = {
     hookInstalled
