@@ -151,6 +151,28 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Shared DuckDB oracle for the IVF-cluster-blocked near-dup keys,
+    * parameterized by centroid count — one template serving both the
+    * k=8 default and the k=16 variant, so an oracle-affecting edit can
+    * never silently desynchronize them (the Spark side is already the
+    * single parameterized embedCosinePairs). Mirrors ivfAssign verbatim:
+    * centroids = vectors with vec_id < k, max-cosine assignment with
+    * cent_id tiebreak.
+    */
+  private def embedCosineSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < $k),
+       |asg AS (
+       |  SELECT vec_id, emb, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+       |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin
+
   val LloydIters = 3
 
   /** DuckDB replica of the Lloyd-iterated IVF (dimension fixed at 64 by
@@ -421,19 +443,7 @@ object DedupQueries {
     // DuckDB's list_cosine_similarity over DOUBLE[] folds sequentially
     // exactly like FloatVecDot's index-order double fold, verified
     // bit-exact — so even the float threshold is oracle-safe.
-    "dedup_embed_cosine" -> Q.withOracle(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, emb, cent_id AS cluster FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
-        |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin)(
+    "dedup_embed_cosine" -> Q.withOracle(embedCosineSql(8))(
       (s, d) => embedCosinePairs(t(s, d, "embeddings"))),
 
     // the SAME blocked near-dup at cluster granularity k=16 — puts the
@@ -441,21 +451,9 @@ object DedupQueries {
     // optional #6: AnnSpec proves the k-bounds property at k=64; this
     // proves a non-default k computes the exact blocked pair set). Finer
     // clusters prune MORE true pairs — that is the declared recall/cost
-    // trade of raising k at 100 TB — and the oracle reproduces exactly
-    // that pruning with centroids vec_id < 16.
-    "dedup_embed_cosine_k16" -> Q.withOracle(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, emb AS cvec FROM e WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, emb, cent_id AS cluster FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cent_id) AS rn
-        |    FROM e CROSS JOIN c) WHERE rn = 1)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
-        |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin)(
+    // trade of raising k at 100 TB — and the shared oracle template
+    // reproduces exactly that pruning with centroids vec_id < 16.
+    "dedup_embed_cosine_k16" -> Q.withOracle(embedCosineSql(16))(
       (s, d) => embedCosinePairs(t(s, d, "embeddings"), k = 16)),
 
     // brute-force cosine top-k ANN baseline: 5 fixed query vectors

@@ -45,7 +45,12 @@ object Tables {
               .forEach(f => Files.deleteIfExists(f): Unit)
             finally walk.close()
           } else Files.deleteIfExists(p): Unit
-        } catch { case _: java.io.IOException => () }
+        } catch {
+          // Files.walk's iteration wraps IO failures (e.g. a concurrent
+          // deleter racing this hook) in UncheckedIOException — catch
+          // both so one dir's failure can't abort the rest of the loop
+          case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+        }
       }))
   def cleanupOnExit(dir: String): String = {
     hookInstalled

@@ -1,0 +1,56 @@
+package graft
+
+/** Semantic properties of the sampling/mixing/packing keys (round 5) —
+  * the oracle gate proves engine-equivalence; these prove the
+  * operators' CONTRACTS: reproducibility, the quota cap, and the bin
+  * budget.
+  */
+class SamplingSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = queries.SamplingQueries.entries(name).fn(spark, d)
+
+  test("sample_hash: deterministic across runs, rate near 40/256, pushes to scan") {
+    import spark.implicits._
+    val a = q("sample_hash").as[(Long, String, Long)].collect().toSet
+    val b = q("sample_hash").as[(Long, String, Long)].collect().toSet
+    assert(a == b, "hash sampling must be rerun-stable")
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    val rate = a.size.toDouble / total
+    // 40/256 ≈ 0.156; sha256 is uniform, allow wide slack at tiny sf
+    assert(rate > 0.05 && rate < 0.30, s"rate $rate far from 40/256")
+    // the filter is a pure per-row predicate — no Exchange in the plan
+    val hasExchange = q("sample_hash").queryExecution.executedPlan.toString
+      .contains("Exchange")
+    assert(!hasExchange, "hash sampling must not shuffle")
+  }
+
+  test("mix_quota: no source exceeds the cap; selection is hash-ranked") {
+    import spark.implicits._
+    val rows = q("mix_quota").as[(String, Long, Int)].collect()
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 10), "quota cap violated")
+    // ranks within a source are 1..n with no gaps
+    bySrc.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"rank gap in $g")
+    }
+  }
+
+  test("pack_chunks: bins respect the budget up to one overflowing doc") {
+    import spark.implicits._
+    val rows = q("pack_chunks").as[(String, Long, Long, Long)].collect()
+    val maxDoc = rows.map(_._3).max
+    rows.groupBy(r => (r._1, r._4)).foreach { case (bin, docs) =>
+      val sz = docs.map(_._3).sum
+      // a doc is placed in the bin where its PREFIX starts, so a bin can
+      // exceed the budget only by the tail of its last doc
+      assert(sz < 1000 + maxDoc, s"bin $bin holds $sz chars")
+    }
+    // bins are contiguous per source starting at 0
+    rows.groupBy(_._1).values.foreach { g =>
+      val bins = g.map(_._4).distinct.sorted.toSeq
+      assert(bins.head == 0L && bins == (bins.head to bins.last),
+        s"non-contiguous bins $bins")
+    }
+  }
+}
