@@ -57,6 +57,92 @@ object SamplingQueries {
           .select("source", "doc_id", "rk")
       }),
 
+    // Stratified sampling: per-language hash-threshold rates — the
+    // rebalancing step of a multilingual mix (downsample the dominant
+    // language, keep more of the rare ones). Like sample_hash this is a
+    // pure per-row predicate (stratum → hex threshold), so it pushes to
+    // the scan and needs no shuffle at any corpus size; unlike
+    // rand()-based stratified sampling it is byte-reproducible across
+    // reruns and backfills.
+    "sample_stratified" -> Q.withOracle(
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE substr($shaId, 1, 2) <
+        |  CASE lang WHEN 'en' THEN '20'
+        |            WHEN 'de' THEN '80'
+        |            WHEN 'zh' THEN '80'
+        |            ELSE '40' END""".stripMargin)(
+      (s, d) => t(s, d, "documents")
+        .filter(substring(sha2(col("doc_id").cast("string"), 256), 1, 2) <
+          when(col("lang") === "en", "20")
+            .when(col("lang") === "de" || col("lang") === "zh", "80")
+            .otherwise("40"))
+        .select("doc_id", "lang")),
+
+    // Temperature-scaled mixing: per-language quota ∝ n^(1/2) (the
+    // τ=2 sampling temperature of multilingual pretraining — flattens
+    // the head, boosts the tail), capped at the group size, selection by
+    // deterministic hash rank. The quota is a pure per-group function of
+    // the group's own count (no cross-group float sum → bit-identical in
+    // both engines: IEEE sqrt is correctly rounded). At 100 TB the
+    // count pass is a map-side-combined agg to ~#langs rows, broadcast
+    // back; the rank shuffle partitions by the mix dimension itself.
+    "mix_temperature" -> Q.withOracle(
+      s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |q AS (SELECT lang,
+        |        least(n_l, CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 8) AS BIGINT)) AS quota
+        |      FROM n),
+        |r AS (SELECT d.lang, d.doc_id, q.quota,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY $shaId, d.doc_id) AS rk
+        |      FROM documents d JOIN q USING (lang))
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= quota""".stripMargin)(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quotas = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+          .select(col("lang"), least(col("n_l"),
+            floor(sqrt(col("n_l").cast("double")) * 8).cast("bigint")).as("quota"))
+        val w = Window.partitionBy("lang")
+          .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))
+        docs.join(broadcast(quotas), Seq("lang"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("quota"))
+          .select("lang", "doc_id", "rk")
+      }),
+
+    // Benchmark decontamination: flag every training doc sharing a word
+    // 3-gram with the eval set (here: the deterministic 1/97 doc_id
+    // slice — stand-in for a held-out benchmark). The canonical
+    // pretraining hygiene pass (13-gram at production scale; 3-gram
+    // here because the synthetic 31-word vocab makes 5-grams
+    // near-unique). Scale shape: the eval side is tiny by construction
+    // → its distinct grams broadcast; the training side is a narrow
+    // projection that never shuffles until the final per-doc count
+    // (map-side combined). No all-pairs anything.
+    "decontam_ngram" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) t
+        |),
+        |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT gr.doc_id, count(DISTINCT gr.g) AS n_hit
+        |FROM grams gr JOIN eval_grams e USING (g)
+        |WHERE gr.doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin)(
+      (s, d) => {
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ws")) - 2),
+              i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("g"))
+        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams), Seq("g"))
+          .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hit"))
+      }),
+
     // Sequence packing: assign docs to fixed-budget bins (1000 chars —
     // stand-in for the token budget of a training sequence) by running
     // per-source cumulative size; bin = floor((cumsum − own)/budget),

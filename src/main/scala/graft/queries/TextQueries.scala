@@ -65,6 +65,30 @@ object TextQueries {
         size(regexp_extract_all(col("text"),
           lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"), lit(1))).as("n_bpe_tokens"))),
 
+    // repetition-ratio quality gate (the Gopher-rule family): flag docs
+    // whose single most frequent word carries ≥ 10% of the tokens.
+    // Spark side is a ZERO-SHUFFLE per-row higher-order-function plan
+    // (count words inside the row's own array — O(distinct×len) per
+    // row, fully codegen'd) vs the oracle's equivalent two-level
+    // group-by; the integer cross-multiplied gate (max*10 >= n) avoids
+    // any float division, so both engines agree bit-exactly.
+    "text_repetition" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT doc_id, max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_words
+        |FROM c GROUP BY 1
+        |HAVING max(cnt) * 10 >= CAST(sum(cnt) AS BIGINT)""".stripMargin)(
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val maxCnt = array_max(transform(array_distinct(ws),
+          w => size(filter(ws, x => x === w))))
+        t(s, d, "documents").select(col("doc_id"),
+          maxCnt.cast("bigint").as("max_cnt"),
+          size(ws).cast("bigint").as("n_words"))
+          .filter(col("max_cnt") * 10 >= col("n_words"))
+      }),
+
     // document fingerprinting via the native Catalyst expressions
     // (fingerprint64 = FNV content hash; rolling_min_hash64 = winnowing
     // rolling hash) — no DuckDB equivalent, covered by unit tests

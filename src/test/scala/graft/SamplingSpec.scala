@@ -36,6 +36,53 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("sample_stratified: per-stratum rates ordered en < fr/es < de/zh; no shuffle") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = q("sample_stratified").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def rate(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    // thresholds 0x20/0x40/0x80 = 12.5% / 25% / 50%; wide slack at tiny sf
+    assert(rate("en") < rate("de") && rate("en") < rate("zh"),
+      s"en must be downsampled hardest: ${total.keys.map(l => l -> rate(l))}")
+    assert(!q("sample_stratified").queryExecution.executedPlan.toString
+      .contains("Exchange"), "stratified sampling must not shuffle")
+  }
+
+  test("mix_temperature: quota = min(n, floor(sqrt(n)*8)) per language, hash-ranked") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rows = q("mix_temperature").as[(String, Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      val quota = math.min(n(lang), math.floor(math.sqrt(n(lang).toDouble) * 8).toLong)
+      assert(g.length == quota, s"$lang: got ${g.length}, quota $quota")
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"rank gap in $lang")
+    }
+    // tail boost: the kept FRACTION of a rare language exceeds a common one's
+    val fr = rows.count(_._1 == "de").toDouble / n("de")
+    val en = rows.count(_._1 == "en").toDouble / n("en")
+    assert(fr > en, s"temperature must flatten the mix (de $fr vs en $en)")
+  }
+
+  test("decontam_ngram: every flagged doc shares a 3-gram with the eval slice; eval excluded") {
+    import spark.implicits._
+    val flagged = q("decontam_ngram").as[(Long, Long)].collect()
+    assert(flagged.nonEmpty, "tiny-sf corpus must have contaminated docs")
+    assert(flagged.forall(_._1 % 97 != 0), "eval docs must not flag themselves")
+    assert(flagged.forall(_._2 >= 1))
+    // recompute one doc's grams locally and verify the overlap is real
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val evalGrams = docs.collect { case (id, t) if id % 97 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val (sampleId, nHit) = flagged.minBy(_._1)
+    assert(grams(docs(sampleId)).count(evalGrams.contains) == nHit,
+      s"doc $sampleId: local recompute disagrees with n_hit=$nHit")
+  }
+
   test("pack_chunks: bins respect the budget up to one overflowing doc") {
     import spark.implicits._
     val rows = q("pack_chunks").as[(String, Long, Long, Long)].collect()
