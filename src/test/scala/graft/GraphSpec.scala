@@ -1,0 +1,69 @@
+package graft
+
+/** Contract tests for the round-5 graph analytics: beyond the DuckDB
+  * oracle (engine-equivalence), each key is checked against an
+  * INDEPENDENT single-threaded local recompute of the same algorithm —
+  * the strongest non-circular evidence available for graph semantics.
+  */
+class GraphSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = queries.GraphQueries.entries(name).fn(spark, d)
+
+  /** Local recompute of the capped co-purchase edge set (src < dst). */
+  private lazy val localEdges: Set[(Long, Long)] = {
+    import spark.implicits._
+    val op: Map[Long, Set[Long]] = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .toSet[(Long, Long)].groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    op.values.flatMap { grp =>
+      val parts = grp.toSeq.sorted.take(10)
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.toSet
+  }
+
+  private lazy val adj: Map[Long, Set[Long]] = {
+    val sym = localEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
+  test("graph_degree: matches local adjacency; sum = 2|E|") {
+    import spark.implicits._
+    val got = q("graph_degree").as[(Long, Long)].collect().toMap
+    assert(got == adj.map { case (k, v) => k -> v.size.toLong })
+    assert(got.values.sum == 2L * localEdges.size)
+  }
+
+  test("graph_pagerank: matches a single-threaded integer fixed-point recompute") {
+    import spark.implicits._
+    val got = q("graph_pagerank").as[(Long, Long)].collect().toMap
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    var pr: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000L }
+    for (_ <- 1 to queries.GraphQueries.PrIters) {
+      val share = pr.map { case (n, v) => n -> v / deg(n) }
+      pr = adj.map { case (n, nbrs) =>
+        n -> (150000L + 85L * nbrs.iterator.map(share).sum / 100L)
+      }
+    }
+    assert(got == pr, s"pagerank mismatch on ${got.size} nodes")
+    // the graph is skewed, so ranks must actually spread
+    assert(got.values.max > got.values.min + 100000L, "degenerate ranks")
+  }
+
+  test("graph_triangles: per-node counts sum to 3x the global triangle count") {
+    import spark.implicits._
+    val got = q("graph_triangles").as[(Long, Long)].collect().toMap
+    // local: for each oriented edge (x,y), triangles via common z > y
+    var perNode = Map.empty[Long, Long].withDefaultValue(0L)
+    var global = 0L
+    for ((x, y) <- localEdges; z <- adj(x) intersect adj(y) if z > y) {
+      global += 1
+      perNode = perNode.updated(x, perNode(x) + 1)
+        .updated(y, perNode(y) + 1).updated(z, perNode(z) + 1)
+    }
+    assert(global > 0, "tiny-sf graph must contain triangles")
+    assert(got.values.sum == 3L * global)
+    assert(got == perNode.filter(_._2 > 0))
+  }
+}
