@@ -93,6 +93,40 @@ object Bench {
     s
   }
 
+  /** (Re)build the scaling corpora. The uniform corpus is cached across
+    * runs (pure function of nFiles, 64 ~1 MB files). The REPO-CLUSTERED
+    * skew corpus is rebuilt every run with a PINNED 8 MB row-group
+    * size: the mega-repo (~50% of rows) collapses into one hot file,
+    * and a scan split cannot subdivide a row group, so the row-group
+    * grain IS the skew block's parallelism.
+    *
+    * Round-5 regression fix: the round-3 commit dropped the 8 MB
+    * parquet.block.size write option as a "no-op" — but the only reason
+    * skew kept scaling afterwards was that the on-disk dir (written
+    * WITH the option) was never rebuilt. The first fresh-host rebuild
+    * wrote a single 147 MB row group into the hot file and local[8]
+    * degenerated to one hot task (measured skew eff 0.27 vs 0.92).
+    * Pinning via hadoopConfiguration is unconditionally effective, and
+    * the unconditional rebuild (~4 s, inside the budgeted clock) means
+    * a stale cached layout can never decide the skew block again.
+    */
+  def materializeCorpora(s: SparkSession, nFiles: Int): (String, String) = {
+    val corpusDir = s"/tmp/graft_bench_corpus_$nFiles"
+    val skewDir = s"/tmp/graft_bench_corpus_skew_$nFiles"
+    if (!new java.io.File(corpusDir).exists()) {
+      import s.implicits._
+      s.range(nFiles).repartition(64)
+        .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
+        .toDF().write.mode("overwrite").parquet(corpusDir)
+    }
+    s.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 8 * 1024 * 1024)
+    s.read.parquet(corpusDir)
+      .repartition(col("repo"))
+      .write.mode("overwrite").parquet(skewDir)
+    (corpusDir, skewDir)
+  }
+
   /** One timed pipeline run over the corpus. Dictionary artifacts
     * (function-alias broadcast + canonical link map) are corpus-
     * independent per-cluster setup — prepared once per session by the
@@ -259,23 +293,7 @@ object Bench {
     // ---- part 2: KG throughput scaling ----
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val nFiles = math.max(8000, (sf * 4000000).toInt)
-    val corpusDir = s"/tmp/graft_bench_corpus_$nFiles"
-    val skewDir = s"/tmp/graft_bench_corpus_skew_$nFiles"
-    if (!new java.io.File(corpusDir).exists()) {
-      import suiteSpark.implicits._
-      suiteSpark.range(nFiles).repartition(64)
-        .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
-        .toDF().write.mode("overwrite").parquet(corpusDir)
-    }
-    if (!new java.io.File(skewDir).exists()) {
-      // same files, CLUSTERED BY REPO on disk: the mega-repo (~50% of all
-      // rows) collapses into ONE hot file — the input-skew shape a crawl
-      // of real repositories produces (row-group-aligned 4 MB splits
-      // carry the parallelism; BENCH/BASELINE.md §skew).
-      suiteSpark.read.parquet(corpusDir)
-        .repartition(col("repo"))
-        .write.mode("overwrite").parquet(skewDir)
-    }
+    val (corpusDir, skewDir) = materializeCorpora(suiteSpark, nFiles)
     suiteSpark.stop()
 
     // WHOLE-RUN clock (round-5): the budget now charges part 1 + corpus
