@@ -95,10 +95,14 @@ object Bench {
 
   /** (Re)build the scaling corpora. The uniform corpus is cached across
     * runs (pure function of nFiles, 64 ~1 MB files). The REPO-CLUSTERED
-    * skew corpus is rebuilt every run with a PINNED 8 MB row-group
+    * skew corpus is rebuilt every run with a PINNED 4 MB row-group
     * size: the mega-repo (~50% of rows) collapses into one hot file,
     * and a scan split cannot subdivide a row group, so the row-group
-    * grain IS the skew block's parallelism.
+    * grain IS the skew block's parallelism. 4 MB matches the scaling
+    * sessions' maxPartitionBytes and gives the hot file ~12 row groups
+    * — at 8 cores the 8 MB grain left only 6 hot tasks (quantization
+    * floor); probes measured t8 4.46/4.67 s at 4 MB vs 4.63/5.04 s at
+    * 8 MB on the same windows.
     *
     * Round-5 regression fix: the round-3 commit dropped the 8 MB
     * parquet.block.size write option as a "no-op" — but the only reason
@@ -120,7 +124,7 @@ object Bench {
         .toDF().write.mode("overwrite").parquet(corpusDir)
     }
     s.sparkContext.hadoopConfiguration
-      .setInt("parquet.block.size", 8 * 1024 * 1024)
+      .setInt("parquet.block.size", 4 * 1024 * 1024)
     s.read.parquet(corpusDir)
       .repartition(col("repo"))
       .write.mode("overwrite").parquet(skewDir)
