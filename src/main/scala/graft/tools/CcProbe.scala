@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Instrumented breakdown of the cc_components key: edge-build time,
+  * per-round star-contraction time, round count. Usage:
+  *   sbt 'runMain graft.tools.CcProbe <sfDir> [cores]'
+  */
+object CcProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cores = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+
+    def now() = System.nanoTime()
+    val t0 = now()
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        concat(lit("e"), lpad(col("event_id").cast("string"), 10, "0")).as("node"))
+    val edges = ev.withColumn("prev", lag(col("node"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("node").as("dst"))
+      .localCheckpoint()
+    val nEdges = edges.count()
+    println(f"[ccprobe] edge build+checkpoint: ${(now() - t0) / 1e9}%.2fs, $nEdges edges")
+
+    // job/stage telemetry for the CC run, attributed from outside —
+    // no instrumentation inside Canonicalize
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, (System.nanoTime(), j.stageInfos.size))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (s, nst) = starts.remove(j.jobId)
+        jobs.add((j.jobId, System.nanoTime() - s, nst))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // A/B: optional conf overrides for the CC run (restored after)
+    val aqe = sys.env.get("CCPROBE_AQE")
+    val parts = sys.env.get("CCPROBE_PARTS")
+    aqe.foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
+    parts.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    val t1 = now()
+    val res = graft.kg.Canonicalize.connectedComponents(edges)
+    val n = res.count()
+    val total = (now() - t1) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"[ccprobe] CC total: $total%.2fs, $n nodes (aqe=${aqe.getOrElse("default")} parts=${parts.getOrElse("default")})")
+    import scala.jdk.CollectionConverters._
+    val js = jobs.asScala.toSeq.sortBy(_._1)
+    println(f"[ccprobe] jobs=${js.size} stages=${js.map(_._3).sum} " +
+      f"jobSecs=${js.map(_._2 / 1e9).map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
