@@ -72,6 +72,50 @@ object GraphQueries {
   private def symmetric(e0: DataFrame): DataFrame =
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
 
+  /** The production-shaped open-ended PageRank loop the oracled key's
+    * fixed 3-iteration unroll stands in for: the SAME integer
+    * fixed-point step, iterated until the largest per-node change is
+    * ≤ tol millionths (an integer, order-invariant criterion — damping
+    * 0.85 contracts the real-valued map, so the integer iterates
+    * settle into a band of width O(1) units; tol absorbs it), with
+    * `localCheckpoint` per iteration truncating lineage exactly like
+    * Canonicalize.connectedComponents. Not a suite key: at damping
+    * 0.85 a tight tol costs ~30–70 iterations — benchmark rent with no
+    * new plan shape; GraphSpec instead pins maxIters=3 to the
+    * hash-verified `graph_pagerank` output and asserts the deltas
+    * contract and the loop self-terminates.
+    *
+    * e: symmetric edge list (src, dst); returns ((node, val),
+    * iterations run) — the count makes self-termination assertable.
+    */
+  def pagerankConverged(e: DataFrame, tol: Long = 1000,
+                        maxIters: Int = 100): (DataFrame, Int) = {
+    val deg = e.select(col("src").as("node")).groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    var pr = deg.select(col("node"), lit(1000000L).as("val"))
+      .localCheckpoint(eager = false)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val next = e.alias("e")
+        .join(pr.alias("pr"), col("e.src") === col("pr.node"))
+        .join(deg.alias("dg"), col("e.src") === col("dg.node"))
+        .select(col("e.dst").as("node"), expr("val div d").as("share"))
+        .groupBy("node")
+        .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
+        .localCheckpoint(eager = false)
+      // the delta aggregate is the action that materializes the lazy
+      // checkpoint — one job per iteration (CC's discipline)
+      val delta = next.alias("n")
+        .join(pr.alias("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.val") - col("p.val")))).first().getLong(0)
+      pr = next
+      it += 1
+      done = delta <= tol
+    }
+    (pr, it)
+  }
+
   val entries: Map[String, Q] = Map(
 
     // degree centrality — the cheapest "which entities are hubs" answer;

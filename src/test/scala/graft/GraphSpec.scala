@@ -51,6 +51,35 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.max > got.values.min + 100000L, "degenerate ranks")
   }
 
+  test("pagerankConverged: 3-iteration pin equals the oracled unroll; loop self-terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e0 = spark.createDataset(localEdges.toSeq).toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // tol = -1 can never be reached (delta >= 0), so exactly maxIters
+    // iterations run — pinning the loop to the hash-verified unrolled key
+    val (pinned, pinnedIters) = queries.GraphQueries.pagerankConverged(
+      sym, tol = -1L, maxIters = queries.GraphQueries.PrIters)
+    assert(pinnedIters == queries.GraphQueries.PrIters)
+    val unrolled = q("graph_pagerank").as[(Long, Long)].collect().toMap
+    assert(pinned.as[(Long, Long)].collect().toMap == unrolled)
+    // open-ended run: must self-terminate well before the cap, and one
+    // further fixed-point step must stay inside the tolerance band
+    val tol = 2000L
+    val (conv, iters) = queries.GraphQueries.pagerankConverged(sym, tol = tol, maxIters = 100)
+    assert(iters < 100, s"did not converge ($iters iterations)")
+    // one step BEYOND the stopping point must stay inside the tolerance
+    // band (iterations are deterministic, so the tol=-1 re-run at
+    // maxIters=iters reproduces conv's values exactly)
+    val (atStop, _) = queries.GraphQueries.pagerankConverged(sym, tol = -1L, maxIters = iters)
+    val (oneMore, _) = queries.GraphQueries.pagerankConverged(sym, tol = -1L, maxIters = iters + 1)
+    val s = atStop.as[(Long, Long)].collect().toMap
+    assert(s == conv.as[(Long, Long)].collect().toMap)
+    val m = oneMore.as[(Long, Long)].collect().toMap
+    assert(s.keySet == m.keySet)
+    assert(s.keys.map(k => math.abs(s(k) - m(k))).max <= tol)
+  }
+
   test("graph_triangles: per-node counts sum to 3x the global triangle count") {
     import spark.implicits._
     val got = q("graph_triangles").as[(Long, Long)].collect().toMap
