@@ -123,11 +123,20 @@ object Bench {
         .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
         .toDF().write.mode("overwrite").parquet(corpusDir)
     }
-    s.sparkContext.hadoopConfiguration
-      .setInt("parquet.block.size", 4 * 1024 * 1024)
-    s.read.parquet(corpusDir)
-      .repartition(col("repo"))
-      .write.mode("overwrite").parquet(skewDir)
+    // scope the row-group override to this one write: hadoopConfiguration
+    // is session-global, and leaving 4 MB set would silently degrade any
+    // later parquet write through the same session
+    val hconf = s.sparkContext.hadoopConfiguration
+    val prevBlockSize = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 4 * 1024 * 1024)
+    try {
+      s.read.parquet(corpusDir)
+        .repartition(col("repo"))
+        .write.mode("overwrite").parquet(skewDir)
+    } finally {
+      if (prevBlockSize == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlockSize)
+    }
     (corpusDir, skewDir)
   }
 

@@ -90,8 +90,10 @@ object GraphQueries {
     */
   def pagerankConverged(e: DataFrame, tol: Long = 1000,
                         maxIters: Int = 100): (DataFrame, Int) = {
+    // deg is loop-invariant: checkpoint it once so the per-iteration
+    // job doesn't re-aggregate the full edge list every round
     val deg = e.select(col("src").as("node")).groupBy("node")
-      .agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("d")).localCheckpoint(eager = false)
     var pr = deg.select(col("node"), lit(1000000L).as("val"))
       .localCheckpoint(eager = false)
     var it = 0
@@ -105,10 +107,16 @@ object GraphQueries {
         .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
         .localCheckpoint(eager = false)
       // the delta aggregate is the action that materializes the lazy
-      // checkpoint — one job per iteration (CC's discipline)
-      val delta = next.alias("n")
+      // checkpoint — one job per iteration (CC's discipline). Superseded
+      // iterates stay in the block manager for the loop's lifetime
+      // (same retention trade CC makes over its ~12 rounds): two
+      // node-sized Long vectors per iteration, bounded by maxIters.
+      // max() over zero rows is null — an empty graph converges
+      // trivially instead of NPEing on getLong.
+      val row = next.alias("n")
         .join(pr.alias("p"), col("n.node") === col("p.node"))
-        .agg(max(abs(col("n.val") - col("p.val")))).first().getLong(0)
+        .agg(max(abs(col("n.val") - col("p.val")))).first()
+      val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
       pr = next
       it += 1
       done = delta <= tol

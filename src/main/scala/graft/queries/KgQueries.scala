@@ -140,6 +140,42 @@ object KgQueries {
       |       subj, pred, obj, count(*) AS n, round(max(score), 6) AS max_score
       |FROM mapped GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Per-user event-chain edge set (consecutive event_ids linked) — the
+    * input of `cc_components`, shared with tools.CcProbe so the probe
+    * measures exactly the production edge build.
+    */
+  def eventChainEdges(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+      concat(lit("e"), lpad(col("event_id").cast("string"), 10, "0")).as("node"))
+    ev.withColumn("prev", lag(col("node"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("node").as("dst"))
+  }
+
+  /** DuckDB RECURSIVE min-label propagation over the same edge set
+    * (cc_components' oracle; defined before `entries` so the map's eager
+    * init sees it).
+    */
+  private val ccOracleSql: String =
+    """WITH RECURSIVE
+      |ev AS (SELECT user_id, event_id,
+      |              'e' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS node
+      |       FROM events),
+      |ch AS (SELECT node,
+      |              lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |       FROM ev),
+      |e0 AS (SELECT prev AS src, node AS dst FROM ch WHERE prev IS NOT NULL),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |walk(node, comp) AS (
+      |  SELECT node, node AS comp FROM n
+      |  UNION
+      |  SELECT e.src AS node, w.comp FROM e JOIN walk w ON w.node = e.dst)
+      |SELECT node, min(comp) AS comp FROM walk GROUP BY node""".stripMargin
+
   val entries: Map[String, Q] = Map(
 
     // S2: reference-format JSON ingest — to_json/from_json round trip
@@ -338,31 +374,7 @@ object KgQueries {
     // by construction (one component per user); node ids are
     // fixed-width-padded so string order == numeric order in both
     // engines.
-    "cc_components" -> Q.withOracle(
-      """WITH RECURSIVE
-        |ev AS (SELECT user_id, event_id,
-        |              'e' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS node
-        |       FROM events),
-        |ch AS (SELECT node,
-        |              lag(node) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
-        |       FROM ev),
-        |e0 AS (SELECT prev AS src, node AS dst FROM ch WHERE prev IS NOT NULL),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-        |n AS (SELECT DISTINCT src AS node FROM e),
-        |walk(node, comp) AS (
-        |  SELECT node, node AS comp FROM n
-        |  UNION
-        |  SELECT e.src AS node, w.comp FROM e JOIN walk w ON w.node = e.dst)
-        |SELECT node, min(comp) AS comp FROM walk GROUP BY node""".stripMargin)(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("event_id")
-        val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
-          concat(lit("e"), lpad(col("event_id").cast("string"), 10, "0")).as("node"))
-        val edges = ev.withColumn("prev", lag(col("node"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("src"), col("node").as("dst"))
-        Canonicalize.connectedComponents(edges)
-      })
+    "cc_components" -> Q.withOracle(ccOracleSql)((s, d) =>
+      Canonicalize.connectedComponents(eventChainEdges(s, d)))
   )
 }

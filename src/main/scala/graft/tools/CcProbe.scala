@@ -18,17 +18,11 @@ object CcProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.expressions.Window
 
     def now() = System.nanoTime()
     val t0 = now()
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_id"),
-        concat(lit("e"), lpad(col("event_id").cast("string"), 10, "0")).as("node"))
-    val edges = ev.withColumn("prev", lag(col("node"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("prev").as("src"), col("node").as("dst"))
+    // the production edge build, shared with the cc_components key
+    val edges = graft.queries.KgQueries.eventChainEdges(spark, sfDir)
       .localCheckpoint()
     val nEdges = edges.count()
     println(f"[ccprobe] edge build+checkpoint: ${(now() - t0) / 1e9}%.2fs, $nEdges edges")
@@ -41,8 +35,10 @@ object CcProbe {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         starts.put(j.jobId, (System.nanoTime(), j.stageInfos.size))
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val (s, nst) = starts.remove(j.jobId)
-        jobs.add((j.jobId, System.nanoTime() - s, nst))
+        // jobs started before the listener attached have no entry — skip
+        Option(starts.remove(j.jobId)).foreach { case (s, nst) =>
+          jobs.add((j.jobId, System.nanoTime() - s, nst))
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)

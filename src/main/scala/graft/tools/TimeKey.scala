@@ -14,7 +14,9 @@ object TimeKey {
     val sfDir = args(0)
     val reps = args(1).toInt
     val keys = args.drop(2).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // default matches Bench part 1 (local[4]) so unqualified runs are
+    // comparable to recorded suite numbers; override via SPARK_GRAFT_CPUS
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
