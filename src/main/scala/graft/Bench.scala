@@ -117,7 +117,11 @@ object Bench {
   def materializeCorpora(s: SparkSession, nFiles: Int): (String, String) = {
     val corpusDir = s"/tmp/graft_bench_corpus_$nFiles"
     val skewDir = s"/tmp/graft_bench_corpus_skew_$nFiles"
-    if (!new java.io.File(corpusDir).exists()) {
+    // cache validity = the _SUCCESS marker, not the directory: a run
+    // killed mid-write (the rc=124 scenario) leaves a partial dir that
+    // a bare exists() would silently reuse — and the skew corpus below
+    // would then be derived from the same truncated input
+    if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
       import s.implicits._
       s.range(nFiles).repartition(64)
         .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))

@@ -88,6 +88,20 @@ object GraphQueries {
     * e: symmetric edge list (src, dst); returns ((node, val),
     * iterations run) — the count makes self-termination assertable.
     */
+  /** One integer fixed-point PageRank iteration — the SINGLE definition
+    * of the damping/share arithmetic, shared by the oracled
+    * `graph_pagerank` unroll and the `pagerankConverged` production
+    * loop so the two can never drift apart (the DuckDB oracle mirrors
+    * this arithmetic in `prIter`).
+    */
+  private def prStep(e: DataFrame, deg: DataFrame, pr: DataFrame): DataFrame =
+    e.alias("e")
+      .join(pr.alias("pr"), col("e.src") === col("pr.node"))
+      .join(deg.alias("dg"), col("e.src") === col("dg.node"))
+      .select(col("e.dst").as("node"), expr("val div d").as("share"))
+      .groupBy("node")
+      .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
+
   def pagerankConverged(e: DataFrame, tol: Long = 1000,
                         maxIters: Int = 100): (DataFrame, Int) = {
     // deg is loop-invariant: checkpoint it once so the per-iteration
@@ -99,13 +113,7 @@ object GraphQueries {
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      val next = e.alias("e")
-        .join(pr.alias("pr"), col("e.src") === col("pr.node"))
-        .join(deg.alias("dg"), col("e.src") === col("dg.node"))
-        .select(col("e.dst").as("node"), expr("val div d").as("share"))
-        .groupBy("node")
-        .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
-        .localCheckpoint(eager = false)
+      val next = prStep(e, deg, pr).localCheckpoint(eager = false)
       // the delta aggregate is the action that materializes the lazy
       // checkpoint — one job per iteration (CC's discipline). Superseded
       // iterates stay in the block manager for the loop's lifetime
@@ -150,14 +158,7 @@ object GraphQueries {
         val deg = e.select(col("src").as("node")).groupBy("node")
           .agg(count(lit(1)).as("d"))
         var pr = deg.select(col("node"), lit(1000000L).as("val"))
-        for (_ <- 1 to PrIters) {
-          pr = e.alias("e")
-            .join(pr.alias("pr"), col("e.src") === col("pr.node"))
-            .join(deg.alias("dg"), col("e.src") === col("dg.node"))
-            .select(col("e.dst").as("node"), expr("val div d").as("share"))
-            .groupBy("node")
-            .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
-        }
+        for (_ <- 1 to PrIters) pr = prStep(e, deg, pr)
         pr
       }),
 

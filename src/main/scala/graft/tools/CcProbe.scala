@@ -42,7 +42,8 @@ object CcProbe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    // A/B: optional conf overrides for the CC run (restored after)
+    // A/B: optional conf overrides for the CC run; NOT restored — the
+    // session is stopped right after, nothing else runs under them
     val aqe = sys.env.get("CCPROBE_AQE")
     val parts = sys.env.get("CCPROBE_PARTS")
     aqe.foreach(v => spark.conf.set("spark.sql.adaptive.enabled", v))
@@ -51,6 +52,19 @@ object CcProbe {
     val res = graft.kg.Canonicalize.connectedComponents(edges)
     val n = res.count()
     val total = (now() - t1) / 1e9
+    // the listener bus is asynchronous: the final job's onJobEnd may
+    // still be queued when count() returns. waitUntilEmpty is
+    // private[spark], so drain by polling until the recorded job count
+    // is stable across two samples (bounded at ~2 s)
+    var seen = -1
+    var stable = 0
+    var polls = 0
+    while (stable < 2 && polls < 10) {
+      Thread.sleep(200)
+      val cur = jobs.size()
+      if (cur == seen) stable += 1 else { stable = 0; seen = cur }
+      polls += 1
+    }
     spark.sparkContext.removeSparkListener(listener)
     println(f"[ccprobe] CC total: $total%.2fs, $n nodes (aqe=${aqe.getOrElse("default")} parts=${parts.getOrElse("default")})")
     import scala.jdk.CollectionConverters._

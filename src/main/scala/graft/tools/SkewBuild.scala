@@ -13,8 +13,13 @@ import org.apache.spark.sql.SparkSession
 object SkewBuild {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 400000
-    val s = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // mirror Bench's suiteSpark geometry (SPARK_GRAFT_CPUS, default 4):
+    // repartition(col("repo")) emits one file per shuffle partition, so
+    // a different partition count would print a layout the benchmark
+    // never reads
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val (corpusDir, skewDir) = graft.Bench.materializeCorpora(s, n)
