@@ -55,6 +55,45 @@ object GraphQueries {
 
   val PrIters = 3
 
+  /** Iterations the OPEN-ENDED `pagerankConverged(tol = 1000)` loop runs
+    * on the fixed nation graph below — measured (delta 1447 > tol after
+    * iteration 5, 453 ≤ tol after 6) and pinned by GraphSpec, so the
+    * `graph_pagerank_converged` oracle can unroll exactly this many
+    * iterations. The graph is built from `nation` (25 rows at EVERY
+    * scale factor by TPC-H construction), so the count is a true
+    * constant, not an SF-dependent accident.
+    */
+  val PrConvIters = 6
+
+  /** Nation-graph CTE for the converged key: same-region cliques plus
+    * the deterministic (k, k² mod 25) chords that break the cliques'
+    * regularity (a 5-regular graph would converge in ONE iteration —
+    * uniform rank is its fixed point — and test nothing).
+    */
+  private val nationEdgeCte =
+    """WITH nn AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+      |e0 AS (SELECT a.k AS src, b.k AS dst
+      |       FROM nn a JOIN nn b ON a.r = b.r AND a.k < b.k
+      |       UNION
+      |       SELECT least(k, (k*k)%25) AS src, greatest(k, (k*k)%25) AS dst
+      |       FROM nn WHERE k <> (k*k)%25),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1)""".stripMargin
+
+  /** Spark mirror of the nation-graph e0 CTE (oriented src < dst). */
+  private[graft] def nationEdges(s: SparkSession, d: String): DataFrame = {
+    val nn = t(s, d, "nation")
+      .select(col("n_nationkey").as("k"), col("n_regionkey").as("r"))
+    val same = nn.alias("a").join(nn.alias("b"),
+        col("a.r") === col("b.r") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("src"), col("b.k").as("dst"))
+    val chords = nn
+      .select(least(col("k"), (col("k") * col("k")) % 25).as("src"),
+        greatest(col("k"), (col("k") * col("k")) % 25).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    same.union(chords).distinct()
+  }
+
   /** Capped co-purchase edges, oriented src < dst (Spark mirror of the
     * e0 CTE).
     */
@@ -102,6 +141,18 @@ object GraphQueries {
       .groupBy("node")
       .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
 
+  /** CONTRACT (round-6, per advice): `e` must be a SYMMETRIC edge list —
+    * every undirected edge present in both directions, as `symmetric`
+    * produces. deg and the initial rank vector are built from `src`
+    * alone, which on a symmetric list covers every node; on a general
+    * directed list, sink nodes would never be ranked. The convergence
+    * delta below uses a full-outer join so that any node-set drift
+    * between iterations (possible only on non-contract input) shows up
+    * as a large delta instead of being silently invisible to the
+    * stopping rule; on contract-conforming input the node set is
+    * iteration-invariant and the outer join degenerates to the inner
+    * one (byte-identical results).
+    */
   def pagerankConverged(e: DataFrame, tol: Long = 1000,
                         maxIters: Int = 100): (DataFrame, Int) = {
     // deg is loop-invariant: checkpoint it once so the per-iteration
@@ -122,8 +173,9 @@ object GraphQueries {
       // max() over zero rows is null — an empty graph converges
       // trivially instead of NPEing on getLong.
       val row = next.alias("n")
-        .join(pr.alias("p"), col("n.node") === col("p.node"))
-        .agg(max(abs(col("n.val") - col("p.val")))).first()
+        .join(pr.alias("p"), col("n.node") === col("p.node"), "full_outer")
+        .agg(max(abs(coalesce(col("n.val"), lit(0L)) -
+          coalesce(col("p.val"), lit(0L))))).first()
       val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
       pr = next
       it += 1
@@ -159,6 +211,24 @@ object GraphQueries {
           .agg(count(lit(1)).as("d"))
         var pr = deg.select(col("node"), lit(1000000L).as("val"))
         for (_ <- 1 to PrIters) pr = prStep(e, deg, pr)
+        pr
+      }),
+
+    // the CONVERGED PageRank loop itself under an exact oracle (round 6;
+    // closes the last daylight between the spec-pinned production loop
+    // and a hash gate): `pagerankConverged` runs open-ended to
+    // tol = 1000 over the SF-invariant 25-node nation graph; the oracle
+    // unrolls exactly PrConvIters iterations, the count the loop is
+    // measured (and GraphSpec-pinned) to take. SF-invariance makes the
+    // unroll depth a constant of the operator, not of the data dir.
+    "graph_pagerank_converged" -> Q.withOracle(
+      s"""$nationEdgeCte,
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS val FROM deg),
+        |${(1 to PrConvIters).map(prIter).mkString(",\n")}
+        |SELECT node, val FROM pr$PrConvIters""".stripMargin)(
+      (s, d) => {
+        val (pr, _) = pagerankConverged(symmetric(nationEdges(s, d)),
+          tol = 1000L, maxIters = 50)
         pr
       }),
 

@@ -67,11 +67,15 @@ object TextQueries {
 
     // repetition-ratio quality gate (the Gopher-rule family): flag docs
     // whose single most frequent word carries ≥ 10% of the tokens.
-    // Spark side is a ZERO-SHUFFLE per-row higher-order-function plan
-    // (count words inside the row's own array — O(distinct×len) per
-    // row, fully codegen'd) vs the oracle's equivalent two-level
-    // group-by; the integer cross-multiplied gate (max*10 >= n) avoids
-    // any float division, so both engines agree bit-exactly.
+    // Spark side stays ZERO-SHUFFLE — a typed per-partition pass with a
+    // per-row HashMap word count, O(len) per row (round 6: the previous
+    // HOF form counted each distinct word by re-filtering the array —
+    // O(distinct×len) per row, a straggler/OOM hazard on a
+    // 100k-unique-token document) — vs the oracle's equivalent
+    // two-level group-by; the integer cross-multiplied gate
+    // (max*10 >= n) avoids any float division, so both engines agree
+    // bit-exactly. split(" ", -1) keeps trailing empties, matching
+    // DuckDB string_split and Spark's SQL split.
     "text_repetition" -> Q.withOracle(
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |           FROM documents),
@@ -80,13 +84,24 @@ object TextQueries {
         |FROM c GROUP BY 1
         |HAVING max(cnt) * 10 >= CAST(sum(cnt) AS BIGINT)""".stripMargin)(
       (s, d) => {
-        val ws = split(col("text"), " ")
-        val maxCnt = array_max(transform(array_distinct(ws),
-          w => size(filter(ws, x => x === w))))
-        t(s, d, "documents").select(col("doc_id"),
-          maxCnt.cast("bigint").as("max_cnt"),
-          size(ws).cast("bigint").as("n_words"))
-          .filter(col("max_cnt") * 10 >= col("n_words"))
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.flatMap { case (id, text) =>
+            val counts = new java.util.HashMap[String, Long]()
+            var maxCnt = 0L
+            var n = 0L
+            text.split(" ", -1).foreach { w =>
+              val c = counts.getOrDefault(w, 0L) + 1L
+              counts.put(w, c)
+              if (c > maxCnt) maxCnt = c
+              n += 1
+            }
+            // the gate itself runs inside the pass — flagged docs only
+            if (maxCnt * 10 >= n) Iterator.single((id, maxCnt, n))
+            else Iterator.empty
+          })
+          .toDF("doc_id", "max_cnt", "n_words")
       }),
 
     // document fingerprinting via the native Catalyst expressions

@@ -80,6 +80,29 @@ class GraphSpec extends SparkTestBase {
     assert(s.keys.map(k => math.abs(s(k) - m(k))).max <= tol)
   }
 
+  test("graph_pagerank_converged: nation-graph loop runs exactly PrConvIters " +
+    "iterations, matching the oracle's unroll depth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e0 = queries.GraphQueries.nationEdges(spark, d)
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val (pr, iters) = queries.GraphQueries.pagerankConverged(sym, tol = 1000L, maxIters = 50)
+    assert(iters == queries.GraphQueries.PrConvIters,
+      s"loop took $iters iterations; the oracle unrolls ${queries.GraphQueries.PrConvIters}")
+    // the key's own result equals the loop's (same code path, smoke)
+    val viaKey = q("graph_pagerank_converged").as[(Int, Long)].collect().toMap
+    assert(viaKey == pr.as[(Int, Long)].collect().toMap && viaKey.size == 25)
+    // exact-stopping evidence: the delta checked at iteration iters-1
+    // (|pr_{iters-1} - pr_{iters-2}|) was still ABOVE tol — the loop
+    // could not have stopped one iteration earlier
+    val (atPrev, _) = queries.GraphQueries.pagerankConverged(sym, tol = -1L, maxIters = iters - 1)
+    val (atPrev2, _) = queries.GraphQueries.pagerankConverged(sym, tol = -1L, maxIters = iters - 2)
+    val p1 = atPrev.as[(Int, Long)].collect().toMap
+    val p2 = atPrev2.as[(Int, Long)].collect().toMap
+    assert(p1.keys.map(k => math.abs(p1(k) - p2(k))).max > 1000L,
+      "loop should not have converged one iteration earlier")
+  }
+
   test("graph_triangles: per-node counts sum to 3x the global triangle count") {
     import spark.implicits._
     val got = q("graph_triangles").as[(Long, Long)].collect().toMap

@@ -36,7 +36,7 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
-  test("sample_stratified: per-stratum rates ordered en < fr/es < de/zh; no shuffle") {
+  test("sample_stratified: en is downsampled hardest (rate en < de, zh); no shuffle") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
@@ -61,9 +61,46 @@ class SamplingSpec extends SparkTestBase {
       assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"rank gap in $lang")
     }
     // tail boost: the kept FRACTION of a rare language exceeds a common one's
-    val fr = rows.count(_._1 == "de").toDouble / n("de")
+    val de = rows.count(_._1 == "de").toDouble / n("de")
     val en = rows.count(_._1 == "en").toDouble / n("en")
-    assert(fr > en, s"temperature must flatten the mix (de $fr vs en $en)")
+    assert(de > en, s"temperature must flatten the mix (de $de vs en $en)")
+  }
+
+  test("mix keys: histogram prune is exact (equals the naive window) and " +
+    "the rank window runs over the pruned set") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    // naive recompute of mix_quota: full window over the corpus
+    val wNaive = Window.partitionBy("source")
+      .orderBy(sha2(col("doc_id").cast("string"), 256), col("doc_id"))
+    val naive = docs.withColumn("rk", row_number().over(wNaive))
+      .filter(col("rk") <= 10).select("source", "doc_id", "rk")
+      .collect().map(_.toSeq).toSet
+    val pruned = q("mix_quota").collect().map(_.toSeq).toSet
+    assert(pruned == naive, "histogram prune must be byte-identical to the naive window")
+    for (key <- Seq("mix_quota", "mix_temperature")) {
+      val df = q(key)
+      df.count() // finalize AQE
+      // the row_number window that produces rk must sit ABOVE a filter
+      // on the histogram cut (pfx <= cut_pfx), i.e. its input is the
+      // quota-scale survivor set, not the corpus
+      val rankWindows = allNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.output.exists(_.name == "rk") => w }
+      assert(rankWindows.nonEmpty, s"$key: no rank window in plan")
+      rankWindows.foreach { w =>
+        val below = allNodes(w.child).map(_.toString).mkString("\n")
+        assert(below.contains("cut_pfx"),
+          s"$key: rank window input is not the pruned survivor set:\n$below")
+      }
+    }
   }
 
   test("decontam_ngram: every flagged doc shares a 3-gram with the eval slice; eval excluded") {
