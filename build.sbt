@@ -15,6 +15,19 @@ Test / fork := true
 // other suites' session lookups; Spark tests on one context must be serial.
 Test / parallelExecution := false
 run / fork := true
+// Round-6 `parsed:null` fix: the default outputStrategy for a forked
+// run is LoggedOutput — sbt pumps the child's stdout through its log
+// appender and EVERY line (even raw FileDescriptor.out writes inside
+// the child: graft.tools.RawProbe measured it) arrives as
+// "[info] <line>", which is why the driver's JSON tail-parse of
+// Bench's final line failed 5 rounds straight. StdoutOutput hands the
+// child sbt's own stdout: Bench/Verify/Main lines arrive BARE.
+run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the "[success] Total time: ..." epilogue sbt would
+// otherwise print AFTER the final JSON line, so Bench's gate line is
+// the literal last stdout line of the whole sbt invocation.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

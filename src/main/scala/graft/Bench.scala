@@ -70,6 +70,37 @@ import graft.kg._
   *     needs a ≥2-round skew median) that runs even over budget with
   *     `skew_overrun_to_min_2_rounds` in budget_notes; round 3 is
   *     strictly budget-checked.
+  *
+  * ROUND-6 changes (pre-registered in BENCH/BASELINE.md; the r5 driver
+  * artifact failed the RAW gate at 0.787 — rescued only by the
+  * normalized secondary — because the ladder bought 9 rounds by
+  * dropping to reps=1 before round 1, and single-rep rounds are
+  * exactly the noise-fragile shape that produced its 0.525/0.635
+  * outliers):
+  *
+  *  8. LADDER RE-ORDER: round count is sacrificed BEFORE reps. The
+  *     scheduler degrades per-round cost only to level 2 (reps=2,
+  *     min-of-reps per side); if that still doesn't fit, it shrinks
+  *     the headline-round target toward the 5-round floor; level 3
+  *     (reps=1) remains only as the last resort below 5 level-2
+  *     rounds. Evidence: every reps≥2 run passed raw (r4 driver 0.925,
+  *     builder run G 0.898), every reps=1 run landed 0.771–0.830.
+  *  9. Part-1 rent cut: pass 2 re-times only keys with pass-1 time
+  *     > 1 s (sub-second keys' warmup is already paid; ~60–80 s freed
+  *     feeds part 2 through the whole-run budget).
+  * 10. Final line: per-round arrays carry eff only (tuples live in the
+  *     scaling_round lines + mirror); targets < 1.5 KB durably.
+  * 11. `parsed:null` FIX, measured with graft.tools.RawProbe: the run
+  *     is forked, and sbt's default LoggedOutput pumped every child
+  *     line — even raw FileDescriptor.out writes — through its log
+  *     appender as "[info] <line>", then appended a "[success]"
+  *     epilogue; the JSON was never the bare last stdout line.
+  *     build.sbt now sets `run / outputStrategy := StdoutOutput`
+  *     (child lines arrive BARE, stderr separated) and
+  *     `showSuccess := false` (no epilogue), so the final gate line IS
+  *     the literal last stdout line. emitFinal also writes it raw to
+  *     fd 1 (defense against a different launcher) and to
+  *     BENCH/total.json as a fixed-path fallback.
   */
 object Bench {
 
@@ -240,6 +271,36 @@ object Bench {
     if (mirror != null) { mirror.println(json); mirror.flush() }
   }
 
+  /** The final gate line, three ways (round-6 `parsed:null` probe —
+    * 5/5 driver rounds arrived with `parsed:null`, and round 5 showed
+    * the compact line SURVIVES capture intact but always carries sbt's
+    * `[info] ` log decoration, because an in-process `runMain` has its
+    * System.out routed through sbt's log manager and sbt appends a
+    * `[success]` line after it):
+    *  1. through System.out as before (the `[info]`-prefixed copy);
+    *  2. RAW to file descriptor 1, bypassing the redirected System.out —
+    *     this copy reaches the driver's capture as a BARE JSON line with
+    *     no prefix;
+    *  3. to a fixed file (`SPARK_GRAFT_BENCH_TOTAL`, default
+    *     BENCH/total.json) as the durable fallback contract.
+    */
+  private def emitFinal(json: String): Unit = {
+    emit(json)
+    try {
+      // do NOT close: closing would close the process's real stdout
+      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      raw.write((json + "\n").getBytes("UTF-8"))
+      raw.flush()
+    } catch { case _: java.io.IOException => () }
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL", "BENCH/total.json")
+      val tf = new java.io.File(p)
+      Option(tf.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(tf)
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val mainStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,11 +317,17 @@ object Bench {
     val minRounds = math.min(5, maxRounds)
 
     // ---- part 1: operator suite ----
-    // two passes, min-of-2 per key (first pass pays JIT/page-cache
-    // warmup) — EXCEPT the iterative-fixpoint CC keys, which run once in
-    // pass 2 (pre-registered round-4 change; their cost is fixed job
-    // latency, not data volume). Failures are recorded per key.
+    // pass 1 times every key (paying JIT/page-cache warmup); pass 2
+    // re-times ONLY the keys whose pass-1 time exceeded 1 s (min-of-2
+    // for them) — a sub-second key's warmup is already covered by the
+    // session-wide warmup pass 1 provides, and min-of-2 on ~60 such
+    // keys was ~60–80 s of pure rent (round-6 pre-registered change;
+    // the freed time feeds part 2 through the whole-run budget). The
+    // iterative-fixpoint CC keys still run once, in pass 2 only
+    // (round-4 change; their cost is fixed job latency, not data).
+    // Failures are recorded per key.
     val singlePassKeys = Set("cc_components", "dedup_cluster_resolve")
+    val rewarmThresholdS = 1.0
     val suiteSpark = session(cpus, smallSplits = false)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     def timeKey(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
@@ -283,12 +350,17 @@ object Bench {
       val tiny = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
       Canonicalize.connectedComponents(tiny).count(): Unit
     }
-    val pass2 = keys.map { case (name, fn) => name -> timeKey(name, fn) }.toMap
+    val pass2 = keys.collect {
+      case (name, fn) if singlePassKeys(name) ||
+        pass1.get(name).exists { case (t, ok) => ok && t > rewarmThresholdS } =>
+        name -> timeKey(name, fn)
+    }.toMap
     val results = keys.map { case (name, _) =>
-      val (tB, okB) = pass2(name)
-      val (t, ok) = pass1.get(name) match {
-        case Some((tA, okA)) => (math.min(tA, tB), okA && okB)
-        case None => (tB, okB)
+      val (t, ok) = (pass1.get(name), pass2.get(name)) match {
+        case (Some((tA, okA)), Some((tB, okB))) => (math.min(tA, tB), okA && okB)
+        case (Some((tA, okA)), None) => (tA, okA)
+        case (None, Some((tB, okB))) => (tB, okB)
+        case (None, None) => (-1.0, false) // unreachable
       }
       // failed keys get a -1 sentinel in the flat map (never a plausible time)
       name -> (if (ok) t else -1.0, ok)
@@ -297,8 +369,9 @@ object Bench {
     val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + f(t) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, (t, ok)) =>
+      val onePass = !(pass1.contains(k) && pass2.contains(k))
       "\"" + k + "\":{\"time\":" + f(t) + ",\"ok\":" + ok +
-        (if (singlePassKeys(k)) ",\"passes\":1" else "") + "}"
+        (if (onePass) ",\"passes\":1" else "") + "}"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -412,22 +485,42 @@ object Bench {
         ctxLeft * (estSlot(16, true) + estSlot(4, true))
 
     var level = 0
+    var targetRounds = maxRounds
     val rounds28 = scala.collection.mutable.ArrayBuffer.empty[Round]
     var budgetStopped = false
-    while (rounds28.size < maxRounds && !budgetStopped) {
+    while (rounds28.size < targetRounds && !budgetStopped) {
       // pick the degradation level by projecting the FULL remaining plan
-      // (all rounds up to maxRounds + the skew/context reserve): per the
-      // pre-registered order, per-round cost degrades FIRST (calibration
-      // once per side, then reps 3→2) so the budget preserves ROUND
-      // COUNT; only when even level-2 rounds don't all fit does the
-      // count-stop rule below start trimming rounds. Never un-degrades.
-      // the reserve protects the full skew block but only ONE context
+      // (all rounds up to targetRounds + the skew/context reserve).
+      // ROUND-6 pre-registered re-order (BENCH/BASELINE.md): per-round
+      // cost degrades first ONLY down to level 2 (reps=2); below that,
+      // ROUND COUNT is sacrificed toward the 5-round floor BEFORE reps
+      // drop to 1 — round 5 falsified the old rounds-last order
+      // empirically: every reps≥2 run passed the raw 0.8 gate (r4
+      // driver 0.925, builder run G 0.898) while reps=1 runs clustered
+      // at 0.771–0.830, because min-of-reps per side is what deletes a
+      // steal window and the median can only down-weight a corrupted
+      // round. Level 3 (reps=1) remains only as the last resort when
+      // even 5 level-2 rounds don't fit. Never un-degrades, targetRounds
+      // never grows back.
+      // The reserve protects the full skew block but only ONE context
       // round: headline rounds are the gate and the 4→16 block is
       // declared to drop first — reserving both context rounds here
-      // would sacrifice a gate round to protect a non-gate round
-      while (level < 3 &&
-             elapsed() + estRound(level, 2, 8) * (maxRounds - rounds28.size) +
-               estReserve(3, 1) > budgetS) {
+      // would sacrifice a gate round to protect a non-gate round.
+      def projected(lv: Int): Double =
+        elapsed() + estRound(lv, 2, 8) * (targetRounds - rounds28.size) +
+          estReserve(3, 1)
+      while (level < 2 && projected(level) > budgetS) {
+        level += 1
+        notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
+      }
+      if (level == 2 && targetRounds > minRounds && projected(level) > budgetS) {
+        val before = targetRounds
+        while (targetRounds > math.max(minRounds, rounds28.size) &&
+               projected(level) > budgetS)
+          targetRounds -= 1
+        notes += s"reduced_rounds_${before}_to_${targetRounds}_before_round_${rounds28.size + 1}"
+      }
+      while (level < 3 && projected(level) > budgetS) {
         level += 1
         notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
       }
@@ -435,6 +528,9 @@ object Bench {
         elapsed() + estRound(level, 2, 8) + estReserve(3, 1) <= budgetS
       if (!nextFits && rounds28.size >= minRounds) {
         notes += s"budget_stop_after_${rounds28.size}_rounds"
+        budgetStopped = true
+      } else if (rounds28.size >= targetRounds) {
+        // targetRounds shrank to the completed count inside this pass
         budgetStopped = true
       } else {
         if (!nextFits && !notes.exists(_.startsWith("budget_overrun")))
@@ -530,22 +626,24 @@ object Bench {
     val qsExtra = extra
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    // per-round t/eff only in the final line — the full t/c/eff/ceil/
-    // neff tuples were already emitted per-round as scaling_round lines
-    def roundsJson(rs: Seq[Round], lo: Int, hi: Int): String =
-      rs.map(r => s"""{"t$lo":${f(r.tLow)},"t$hi":${f(r.tHigh)},"eff":${f(r.eff)}}""")
-        .mkString("[", ",", "]")
+    // per-round EFF ONLY in the final line (round-6 trim: the r5 final
+    // line measured ~1.7–2.3 KB against the < 2 KB capture target; the
+    // full t/c/eff/ceil/neff tuples already live in the per-round
+    // scaling_round lines and the JSONL mirror)
+    def effsJson(rs: Seq[Round]): String =
+      rs.map(r => f(r.eff)).mkString("[", ",", "]")
     val notesJson = notes.map("\"" + _ + "\"").mkString("[", ",", "]")
-    emit(s"""{"metric":"total","value":${f(suiteTotal)},"unit":"sec",""" +
+    emitFinal(s"""{"metric":"total","value":${f(suiteTotal)},"unit":"sec",""" +
       s""""queries":$qsExtra,"failed_queries":$failed,""" +
-      s""""scaling_rounds":${roundsJson(rounds28.toSeq, 2, 8)},""" +
-      s""""scaling_rounds_skew":${roundsJson(roundsSkew.toSeq, 2, 8)},""" +
-      s""""scaling_rounds_4_16":${roundsJson(rounds416.toSeq, 4, 16)},""" +
+      s""""scaling_rounds":${effsJson(rounds28.toSeq)},""" +
+      s""""scaling_rounds_skew":${effsJson(roundsSkew.toSeq)},""" +
+      s""""scaling_rounds_4_16":${effsJson(rounds416.toSeq)},""" +
       s""""budget_s":${f(budgetS)},"elapsed_s":${f(elapsed())},""" +
       s""""part1_elapsed_s":${f(part1S)},"corpus_elapsed_s":${f(corpusS)},""" +
       s""""part2_elapsed_s":${f(part2Elapsed())},""" +
       s""""degrade_level_final":$level,"count_stop":$countStop,""" +
       s""""budget_overrun":$budgetOverrun,"headline_rounds":${rounds28.size},""" +
+      s""""target_rounds":$targetRounds,""" +
       s""""budget_notes":$notesJson,"sf":"$sfDir"}""")
     if (mirror != null) mirror.close()
   }
