@@ -324,6 +324,47 @@ object DedupQueries {
         .groupBy(sha2(col("text"), 256).as("sha"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
+    // SUB-DOCUMENT dedup (round 6): explode each doc into consecutive
+    // non-overlapping word spans and keep the FIRST occurrence of every
+    // distinct span content — the line/paragraph-level pass of
+    // CCNet/RefinedWeb-style pipelines (boilerplate headers, repeated
+    // navigation text), one granularity below dedup_exact. Span width 3
+    // here because the synthetic 31-word vocab makes longer spans
+    // near-unique (same sizing note as decontam_ngram's 3-gram); a web
+    // corpus would use lines or ~50-token windows. Scale shape: one
+    // explode + one shuffle keyed on SPAN CONTENT — high-cardinality
+    // keys (never the handful-of-values mix-dimension trap), identical
+    // cost class to dedup_exact's hash groupBy; both window functions
+    // partition on span, so they reuse one exchange+sort of the spans.
+    "dedup_span" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, i AS span_idx,
+        |        array_to_string(ws[i*3+1 : i*3+3], ' ') AS span
+        |      FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |        CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS i) t),
+        |r AS (SELECT doc_id, span_idx, span,
+        |        row_number() OVER (PARTITION BY span
+        |          ORDER BY doc_id, span_idx) AS rk,
+        |        count(*) OVER (PARTITION BY span) AS n_dup
+        |      FROM s)
+        |SELECT doc_id, span_idx, span, n_dup FROM r WHERE rk = 1""".stripMargin)(
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val nSpans = ceil(size(ws) / lit(3.0)).cast("bigint")
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0L), nSpans - 1),
+              i => concat_ws(" ", slice(ws, (i * 3 + 1).cast("int"), lit(3))))))
+          .select(col("doc_id"), col("pos").as("span_idx"), col("col").as("span"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("span")
+        val byFirst = w.orderBy("doc_id", "span_idx")
+        spans
+          .withColumn("rk", row_number().over(byFirst))
+          .withColumn("n_dup", count(lit(1)).over(w))
+          .filter(col("rk") === 1)
+          .select("doc_id", "span_idx", "span", "n_dup")
+      }),
+
     // MinHash+LSH near-dup: shingle → minhash → band → CAPPED bucket
     // self-join (graft.kg.Lsh — a hot boilerplate cluster degrades to a
     // connectivity-preserving chain instead of going quadratic); output

@@ -146,6 +146,28 @@ object SamplingQueries {
           n => least(n, floor(sqrt(n.cast("double")) * 8).cast("bigint")))
         .select("lang", "doc_id", "rk")),
 
+    // Deterministic train/val/test split assignment (round 6) — the
+    // other ubiquitous selection op besides subsampling: every doc gets
+    // a split label from its OWN stable id hash (first 2 hex chars:
+    // < '0a' ≈ 3.9% test, < '14' ≈ next 3.9% val, else train), so the
+    // assignment is reproducible across reruns/backfills, disjoint by
+    // construction, and never leaks a doc across splits when the corpus
+    // grows (a doc's label depends on nothing but itself — appending
+    // data cannot reshuffle existing assignments, unlike percentile- or
+    // rand()-based splits). Pure per-row CASE: no shuffle at any size.
+    "sample_split" -> Q.withOracle(
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN substr($shaId, 1, 2) < '0a' THEN 'test'
+        |       WHEN substr($shaId, 1, 2) < '14' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin)(
+      (s, d) => {
+        val pfx = substring(sha2(col("doc_id").cast("string"), 256), 1, 2)
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          when(pfx < "0a", "test").when(pfx < "14", "val")
+            .otherwise("train").as("split"))
+      }),
+
     // Benchmark decontamination: flag every training doc sharing a word
     // 3-gram with the eval set (here: the deterministic 1/97 doc_id
     // slice — stand-in for a held-out benchmark). The canonical

@@ -23,6 +23,29 @@ class ApproxQualitySpec extends SparkTestBase {
     }
   }
 
+  test("dedup_span: keepers match a local recompute; duplicate mass is conserved") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_span")(spark, d)
+      .as[(Long, Int, String, Long)].collect()
+    // local recompute: explode every doc into non-overlapping 3-word
+    // spans, keeper = lexicographically first (doc_id, span_idx)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val allSpans = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(3).zipWithIndex
+        .map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val expect = allSpans.groupBy(_._3).map { case (span, occ) =>
+      val (kid, kidx, _) = occ.minBy(o => (o._1, o._2))
+      (kid, kidx, span, occ.length.toLong)
+    }.toSet
+    assert(got.toSet == expect)
+    // duplicate mass conserved: n_dup sums to the exploded span count
+    assert(got.map(_._4).sum == allSpans.length.toLong)
+    // the tiny corpus must actually contain cross-doc duplicate spans
+    assert(got.exists(_._4 > 1), "corpus must contain duplicate spans")
+  }
+
   test("cluster resolution: identical docs resolve to one canonical; transitive chain closes") {
     import spark.implicits._
     // 10 exact copies (hamming 0, all bands collide) + unrelated docs.

@@ -103,6 +103,26 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("sample_split: total partition, disjoint, stable under corpus growth, no shuffle") {
+    import spark.implicits._
+    val rows = q("sample_split").as[(Long, String, String)].collect()
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length == total, "split must assign EVERY doc")
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    assert(byId.size == total, "one label per doc")
+    // growth-stability: the label is a pure function of the doc's own id,
+    // so recomputing on any SUBSET reproduces the same labels
+    val sub = q("sample_split").filter("doc_id % 2 = 0")
+      .as[(Long, String, String)].collect()
+    assert(sub.forall { case (id, _, s) => byId(id) == s })
+    // rough rates: test and val each ~10/256, train the rest
+    val frac = rows.groupBy(_._3).view.mapValues(_.length.toDouble / total).toMap
+    assert(frac("train") > 0.85 && frac.getOrElse("test", 0.0) < 0.12)
+    assert(!q("sample_split").queryExecution.executedPlan.toString
+      .contains("Exchange"), "split assignment must not shuffle")
+  }
+
   test("decontam_ngram: every flagged doc shares a 3-gram with the eval slice; eval excluded") {
     import spark.implicits._
     val flagged = q("decontam_ngram").as[(Long, Long)].collect()
