@@ -28,7 +28,8 @@ object SparkEntry {
   private val all: Map[String, Q] =
     RelationalQueries.entries ++ FunctionQueries.entries ++
       KgQueries.entries ++ DedupQueries.entries ++ TextQueries.entries ++
-      SamplingQueries.entries ++ GraphQueries.entries
+      SamplingQueries.entries ++ GraphQueries.entries ++
+      EventQueries.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -15,6 +15,11 @@ object TextQueries {
     "on", "for", "with")
   private val swList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** BM25 query terms: 'dup' is rare in the synthetic vocab (df ≈ 5% of
+    * docs), the other two are common — a realistic df spread.
+    */
+  private val QueryTerms = Seq("spark", "dup", "merge")
+
   val entries: Map[String, Q] = Map(
 
     // language ID: stopword-hit n-gram heuristic; gate is integer
@@ -102,6 +107,106 @@ object TextQueries {
             else Iterator.empty
           })
           .toDF("doc_id", "max_cnt", "n_words")
+      }),
+
+    // Inverted-index build (round 6): term → document-frequency + the
+    // first-100-doc_ids posting list — the search-index primitive over
+    // a corpus. df is EXACT (map-side-combined count over distinct
+    // (doc,term) pairs); the posting cap is computed with a
+    // per-partition top-k COMBINER (each task keeps ≤100 smallest ids
+    // per term in a bounded TreeSet, the final merge sees ≤100×P rows
+    // per term — bounded by parallelism, not data), so a stopword term
+    // never funnels its full posting list through one task the way a
+    // row_number-per-term window would (the mix-dimension trap again).
+    "text_inverted_index" -> Q.withOracle(
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS df,
+        |  (list(doc_id ORDER BY doc_id))[1:100] AS postings
+        |FROM w GROUP BY term""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        import scala.jdk.CollectionConverters._
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct()
+        val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        val partial = pairs.select(col("term"), col("doc_id"))
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val best = scala.collection.mutable.Map
+              .empty[String, java.util.TreeSet[java.lang.Long]]
+            it.foreach { case (term, id) =>
+              val set = best.getOrElseUpdate(term,
+                new java.util.TreeSet[java.lang.Long]())
+              set.add(id)
+              if (set.size > 100) set.pollLast() // keep the 100 smallest
+            }
+            best.iterator.map { case (term, set) =>
+              (term, set.asScala.toArray.map(_.longValue))
+            }
+          }.toDF("term", "part_postings")
+        val postings = partial.groupBy("term")
+          .agg(slice(sort_array(flatten(collect_list(col("part_postings")))),
+            1, 100).as("postings"))
+        dfCounts.join(postings, "term")
+      }),
+
+    // BM25 scoring (round 6): rank every document against a fixed query
+    // term set (mixed document frequencies: 'dup' is rare, the others
+    // common). Scale shape: corpus-side work is one explode + one
+    // map-side-combined (doc,term) count over ONLY the query terms; the
+    // per-term df table and the 1-row corpus stats (N, Σdl — integer
+    // sums, so bit-exact) are broadcast. Determinism: each per-term
+    // score is rounded to integer MICROS before the per-doc sum, so the
+    // cross-term addition is BIGINT and float-sum order never matters
+    // (the pagerank fixed-point idiom); ln/× /÷ shapes are mirrored
+    // exactly and constants are CAST AS DOUBLE in the oracle so DuckDB
+    // never routes them through DECIMAL arithmetic. k1=1.2, b=0.75
+    // (Robertson–Spärck Jones BM25).
+    "text_bm25" -> Q.withOracle(
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |           FROM documents),
+        |g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS n FROM d),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  CAST(sum(CAST(round(
+        |    ln((g.n - df.df + CAST(0.5 AS DOUBLE))
+        |         / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (tf.tf * CAST(2.2 AS DOUBLE))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * d.dl / (g.sumdl / g.n)))
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS bm25_micro
+        |FROM tf JOIN df USING (term) JOIN d ON tf.doc_id = d.doc_id
+        |CROSS JOIN g
+        |GROUP BY 1""".stripMargin)(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dls = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val g = dls.agg(sum("dl").cast("double").as("sumdl"),
+          count(lit(1)).as("n"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(QueryTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val idf = log((col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0))
+        val denom = col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("dl") / (col("sumdl") / col("n")))
+        tf.join(broadcast(dfT), "term")
+          .join(dls, "doc_id")
+          .crossJoin(broadcast(g))
+          .select(col("doc_id"),
+            round(idf * (col("tf") * lit(2.2)) / denom * lit(1000000))
+              .cast("long").as("ts_micro"))
+          .groupBy("doc_id")
+          .agg(sum(col("ts_micro")).as("bm25_micro"))
       }),
 
     // document fingerprinting via the native Catalyst expressions

@@ -9,6 +9,13 @@ class TextOpsSpec extends SparkTestBase {
 
   private val d = "/root/testdata/sf0.001"
   private def q = queries.TextQueries.entries("text_repetition").fn(spark, d)
+  private def tq(name: String) = queries.TextQueries.entries(name).fn(spark, d)
+
+  private lazy val docs = {
+    import spark.implicits._
+    spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+  }
 
   test("text_repetition: matches brute-force top-word count; no Exchange") {
     import spark.implicits._
@@ -24,5 +31,54 @@ class TextOpsSpec extends SparkTestBase {
     // per-row higher-order counting — the whole plan is scan+project+filter
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
       "repetition gate must not shuffle")
+  }
+
+  test("text_inverted_index: df exact, postings = 100 smallest doc ids") {
+    import spark.implicits._
+    // sf0.01: 500 docs over a 31-word vocab, so common terms have
+    // df ≈ 450 — the only sf where the posting cap is actually exercised
+    val d01 = "/root/testdata/sf0.01"
+    val got = queries.TextQueries.entries("text_inverted_index").fn(spark, d01)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val docs01 = spark.read.parquet(s"$d01/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expect = docs01
+      .flatMap { case (id, t) => t.split(" ", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (term, occ) =>
+        val ids = occ.map(_._2).distinct.sorted
+        term -> (ids.length.toLong, ids.take(100).toSeq)
+      }
+    assert(got == expect)
+    // the combiner cap must be exercised: some term has df > 100, and
+    // its postings list is exactly 100 long while df stays exact
+    val capped = got.filter(_._2._1 > 100)
+    assert(capped.nonEmpty, "tiny-sf corpus must have a term with df > 100")
+    assert(capped.values.forall(_._2.length == 100))
+  }
+
+  test("text_bm25: matches a local recompute (fixed-point micro sum)") {
+    import spark.implicits._
+    val got = tq("text_bm25").as[(Long, Long)].collect().toMap
+    val queryTerms = Set("spark", "dup", "merge")
+    val dls = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val n = docs.length.toLong
+    val sumdl = dls.values.sum.toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(queryTerms).groupBy(identity)
+        .map { case (w, ws) => (id, w, ws.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = tf.groupBy(_._1).map { case (id, ts) =>
+      id -> ts.map { case (_, term, f) =>
+        val idf = math.log((n - df(term) + 0.5) / (df(term) + 0.5) + 1.0)
+        val denom = f + 1.2 * (0.25 + 0.75 * dls(id) / (sumdl / n))
+        math.round(idf * (f * 2.2) / denom * 1000000)
+      }.sum
+    }
+    assert(got == expect)
+    // rare term must out-score common terms for comparable tf: the doc
+    // set containing 'dup' should include a top scorer
+    assert(expect.nonEmpty && expect.values.max > 0)
   }
 }
