@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables.t
@@ -70,6 +71,80 @@ object EventQueries {
             min(us).as("start_us"),
             max(us).as("end_us"),
             sum(round(col("value") * 1000000).cast("long")).as("value_micro"))
+      }),
+
+    // Ordered funnel (view → click → purchase): per user, the first
+    // view, the first click strictly AFTER that view, the first
+    // purchase strictly AFTER that click — the product-analytics
+    // primitive. Declarative 3-stage form instead of a per-user state
+    // machine: each stage is one map-side-combined conditional min over
+    // the events scan plus one join keyed on user_id — ALL stages share
+    // the high-cardinality user key (exchange-reusable, no
+    // mix-dimension hot task; per-stage state is one BIGINT per user).
+    // Integer-exact: all comparisons on unix micros.
+    "funnel_steps" -> Q.withOracle(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+        |SELECT u.user_id, t1_us, t2_us, t3_us,
+        |  CASE WHEN t3_us IS NOT NULL THEN 3 WHEN t2_us IS NOT NULL THEN 2
+        |       WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin)(
+      (s, d) => {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), us.as("us"))
+        def stage(ev: String, prev: DataFrame, prevCol: String,
+                  out: String): DataFrame =
+          e.filter(col("event_type") === ev)
+            .join(prev.select("user_id", prevCol), "user_id")
+            .filter(col("us") > col(prevCol))
+            .groupBy("user_id").agg(min("us").as(out))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1_us"))
+        val s2 = stage("click", s1, "t1_us", "t2_us")
+        val s3 = stage("purchase", s2, "t2_us", "t3_us")
+        e.select("user_id").distinct()
+          .join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .withColumn("depth",
+            when(col("t3_us").isNotNull, 3).when(col("t2_us").isNotNull, 2)
+              .when(col("t1_us").isNotNull, 1).otherwise(0))
+      }),
+
+    // Weekly cohort retention: cohort = epoch-week of a user's FIRST
+    // event; cell (cohort_week, week_offset) counts distinct users
+    // active that many weeks later — the growth-analytics matrix.
+    // Shape: one groupBy(user) min, one user-keyed join of the
+    // per-user first timestamp back onto the events scan, one exact
+    // two-phase countDistinct over the tiny (cohort, offset) grid.
+    // Integer week arithmetic (`div` on micros) — no date/tz parsing
+    // to disagree on.
+    "cohort_retention" -> Q.withOracle(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, min(us) AS first_us FROM e GROUP BY 1),
+        |j AS (SELECT e.user_id, f.first_us // 604800000000 AS cohort_week,
+        |        (e.us - f.first_us) // 604800000000 AS week_offset
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY 1, 2""".stripMargin)(
+      (s, d) => {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val e = t(s, d, "events").select(col("user_id"), us.as("us"))
+        val f = e.groupBy("user_id").agg(min("us").as("first_us"))
+        e.join(f, "user_id")
+          .select(expr("first_us div 604800000000").as("cohort_week"),
+            expr("(us - first_us) div 604800000000").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
       })
   )
 }

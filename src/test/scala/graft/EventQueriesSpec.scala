@@ -43,6 +43,65 @@ class EventQueriesSpec extends SparkTestBase {
     assert(perUser.values.exists(_ > 1), "some user must have >1 session")
   }
 
+  private lazy val rawEvents = {
+    import spark.implicits._
+    spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts AS timestamp)) AS us")
+      .as[(Long, String, Long)].collect()
+  }
+
+  test("funnel_steps: matches a local ordered-scan recompute") {
+    import spark.implicits._
+    val got = queries.EventQueries.entries("funnel_steps").fn(spark, d)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSet
+
+    val expect = rawEvents.groupBy(_._1).map { case (uid, evs) =>
+      def firstAfter(ev: String, after: Long): Option[Long] = {
+        val ts = evs.collect { case (_, e, us) if e == ev && us > after => us }
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      val t1 = firstAfter("view", Long.MinValue)
+      val t2 = t1.flatMap(firstAfter("click", _))
+      val t3 = t2.flatMap(firstAfter("purchase", _))
+      val depth = if (t3.isDefined) 3 else if (t2.isDefined) 2
+        else if (t1.isDefined) 1 else 0
+      (uid, t1, t2, t3, depth)
+    }.toSet
+    assert(got == expect)
+    // ordering must bite: strict "after" means t1 < t2 < t3 wherever defined
+    assert(got.forall { case (_, t1, t2, t3, _) =>
+      t1.zip(t2).forall { case (a, b) => a < b } &&
+        t2.zip(t3).forall { case (a, b) => a < b } })
+    // the funnel must actually narrow on this corpus
+    val byDepth = got.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(byDepth.getOrElse(3, 0) > 0, "someone completes the funnel")
+  }
+
+  test("cohort_retention: conserves users; offset-0 row per cohort") {
+    import spark.implicits._
+    val got = queries.EventQueries.entries("cohort_retention").fn(spark, d)
+      .as[(Long, Long, Long)].collect()
+
+    val wk = 604800000000L
+    val expect = {
+      val first = rawEvents.groupBy(_._1).view
+        .mapValues(_.map(_._3).min).toMap
+      rawEvents.map { case (uid, _, us) =>
+        (first(uid) / wk, (us - first(uid)) / wk, uid)
+      }.distinct.groupBy(c => (c._1, c._2)).map { case ((cw, off), cells) =>
+        (cw, off, cells.length.toLong)
+      }.toSet
+    }
+    assert(got.toSet == expect)
+    // every cohort has an offset-0 cell counting exactly its members
+    val cohortSize = rawEvents.groupBy(_._1).view.mapValues(_.map(_._3).min)
+      .toMap.groupBy(_._2 / wk).view.mapValues(_.size.toLong).toMap
+    val zero = got.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(zero == cohortSize)
+  }
+
   test("sessionize: lag + running-sum + final agg reuse ONE exchange") {
     // all three steps key on user_id with the same sort — Catalyst must
     // plan a single shuffle for the whole chain (plus the scan)
