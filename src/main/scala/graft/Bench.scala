@@ -326,7 +326,8 @@ object Bench {
     // iterative-fixpoint CC keys still run once, in pass 2 only
     // (round-4 change; their cost is fixed job latency, not data).
     // Failures are recorded per key.
-    val singlePassKeys = Set("cc_components", "dedup_cluster_resolve")
+    val singlePassKeys =
+      Set("cc_components", "dedup_cluster_resolve", "graph_kcore")
     val rewarmThresholdS = 1.0
     val suiteSpark = session(cpus, smallSplits = false)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)

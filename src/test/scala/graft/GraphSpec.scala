@@ -35,6 +35,47 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.sum == 2L * localEdges.size)
   }
 
+  test("graph_kcore: matches a local peel; sf0.001 empties in 3 rounds") {
+    import spark.implicits._
+    // sf0.001 (k=80 > max degree after a few peels): the whole graph
+    // peels away — assert the measured round count and the empty core,
+    // then do the REAL semantic check at sf0.01 where 1841 nodes survive
+    val (core0, rounds0) = queries.GraphQueries.kcorePeel(
+      sym(spark.createDataset(localEdges.toSeq).toDF("src", "dst")), 80)
+    assert(core0.count() == 0 && rounds0 == 3)
+
+    val d01 = "/root/testdata/sf0.01"
+    val got = queries.GraphQueries.entries("graph_kcore").fn(spark, d01)
+      .as[(Long, Long)].collect().toMap
+
+    // independent local peel at sf0.01
+    val op: Map[Long, Set[Long]] = spark.read.parquet(s"$d01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .toSet[(Long, Long)].groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val e01 = op.values.flatMap { grp =>
+      val parts = grp.toSeq.sorted.take(10)
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.toSet
+    var edges = e01.flatMap { case (a, b) => Set((a, b), (b, a)) }
+    var done = false
+    while (!done) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 80).keySet
+      val next = edges.filter { case (a, b) => keep(a) && keep(b) }
+      if (next == edges) done = true else edges = next
+    }
+    val expect = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.forall(_ >= 80),
+      "every surviving node keeps >= k in-core neighbors")
+  }
+
+  private def sym(e0: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   test("graph_pagerank: matches a single-threaded integer fixed-point recompute") {
     import spark.implicits._
     val got = q("graph_pagerank").as[(Long, Long)].collect().toMap
