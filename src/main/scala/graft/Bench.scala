@@ -154,9 +154,15 @@ object Bench {
     // would then be derived from the same truncated input
     if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
       import s.implicits._
+      // write-to-temp + atomic rename (round-6, per advice): two
+      // processes sharing an nFiles value (Bench + SkewBuild, parallel
+      // test runs) could otherwise race between the _SUCCESS check and
+      // the overwrite, or read a half-written dir
+      val tmpDir = s"$corpusDir.tmp.${ProcessHandle.current().pid()}"
       s.range(nFiles).repartition(64)
         .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
-        .toDF().write.mode("overwrite").parquet(corpusDir)
+        .toDF().write.mode("overwrite").parquet(tmpDir)
+      publishDir(tmpDir, corpusDir)
     }
     // scope the row-group override to this one write: hadoopConfiguration
     // is session-global, and leaving 4 MB set would silently degrade any
@@ -165,14 +171,36 @@ object Bench {
     val prevBlockSize = hconf.get("parquet.block.size")
     hconf.setInt("parquet.block.size", 4 * 1024 * 1024)
     try {
+      val skewTmp = s"$skewDir.tmp.${ProcessHandle.current().pid()}"
       s.read.parquet(corpusDir)
         .repartition(col("repo"))
-        .write.mode("overwrite").parquet(skewDir)
+        .write.mode("overwrite").parquet(skewTmp)
+      rmTree(new java.io.File(skewDir))
+      publishDir(skewTmp, skewDir)
     } finally {
       if (prevBlockSize == null) hconf.unset("parquet.block.size")
       else hconf.set("parquet.block.size", prevBlockSize)
     }
     (corpusDir, skewDir)
+  }
+
+  private def rmTree(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmTree))
+    p.delete(): Unit
+  }
+
+  /** Atomically publish a completed temp dir at `target`. If another
+    * process won the race and a complete dir (with _SUCCESS) already
+    * sits at `target`, ours is discarded; a PARTIAL dir at `target`
+    * (the killed-run scenario) is removed and replaced.
+    */
+  private def publishDir(tmpDir: String, target: String): Unit = {
+    val t = new java.io.File(target)
+    if (!new java.io.File(t, "_SUCCESS").exists()) rmTree(t)
+    if (!new java.io.File(tmpDir).renameTo(t)) {
+      if (new java.io.File(t, "_SUCCESS").exists()) rmTree(new java.io.File(tmpDir))
+      else sys.error(s"could not publish $tmpDir at $target")
+    }
   }
 
   /** One timed pipeline run over the corpus. Dictionary artifacts

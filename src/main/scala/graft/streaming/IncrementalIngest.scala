@@ -88,6 +88,47 @@ object IncrementalIngest {
     q.awaitTermination()
   }
 
+  /** Streaming SESSIONIZATION (round 6): the streaming-native
+    * counterpart of the batch `sessionize` key, via Spark's built-in
+    * `session_window` — gap-merged per-user sessions maintained in the
+    * streaming state store and finalized (emitted, Append mode) once
+    * the watermark passes a session's end (last event + gap). Batch
+    * boundary semantics differ by one edge: `session_window` merges an
+    * event while gap < gapDuration (strict; the window end is
+    * exclusive), the batch key chains while gap ≤ threshold —
+    * indistinguishable on real micro-resolution timestamps. State per
+    * open session is one (start, end, count, sum) tuple per user —
+    * high-cardinality key, bounded state, the same 100 TB posture as
+    * the batch plan's one user-keyed exchange.
+    */
+  def sessionWindows(spark: SparkSession, eventsDir: String, outDir: String,
+                     checkpointDir: String, gap: String = "30 minutes"): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000000).cast("long")).as("value_micro"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("value_micro"))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream
     * (readStream → withWatermark → window → count), drained with
     * AvailableNow. Demonstrates the streaming agg surface; equivalent to

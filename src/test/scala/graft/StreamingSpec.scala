@@ -80,6 +80,57 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == 13)
   }
 
+  test("session windows equal a local gap-merge for watermark-closed sessions") {
+    import spark.implicits._
+    val outDir = tmp("stream-sess")
+    val ckpt = tmp("stream-sess-ckpt")
+    val evDir = tmp("stream-sess-events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("append").parquet(evDir)
+    IncrementalIngest.sessionWindows(spark, evDir, outDir, ckpt)
+
+    val gapUs = 1800000000L // 30 minutes
+    val events = spark.read.parquet(evDir)
+      .selectExpr("user_id", "unix_micros(cast(ts AS timestamp)) AS us", "value")
+      .as[(Long, Long, Double)].collect()
+    val maxUs = events.map(_._2).max
+    val cutUs = maxUs - 3600000000L // watermark delay 1 hour
+
+    // local gap-merge with session_window's STRICT semantics: an event
+    // joins the open session only while gap < gapUs; session end is
+    // last event + gap
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._2 - prev >= gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+        prev = e._2
+      }
+      sessions.map { ss =>
+        val us = ss.map(_._2)
+        (uid, us.min, us.max + gapUs, ss.length.toLong,
+          ss.map(e => math.round(e._3 * 1000000)).sum)
+      }
+    }.toSet
+    // append mode emits only sessions the final watermark closed
+    val expectedClosed = expected.filter(_._3 <= cutUs)
+
+    val streamed = spark.read.parquet(outDir)
+      .selectExpr("user_id", "unix_micros(cast(sess_start AS timestamp))",
+        "unix_micros(cast(sess_end AS timestamp))", "n_events", "value_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == expectedClosed)
+    assert(streamed.nonEmpty)
+    // the gap must both merge (some multi-event session) and split
+    // (some user with several sessions)
+    assert(streamed.exists(_._4 > 1))
+    assert(streamed.groupBy(_._1).values.exists(_.size > 1))
+  }
+
   test("watermarked tumbling window equals batch agg below the watermark") {
     val eventsDir = "/root/testdata/sf0.001"
     val outDir = tmp("stream-win")
