@@ -324,6 +324,38 @@ object DedupQueries {
         .groupBy(sha2(col("text"), 256).as("sha"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))),
 
+    // INCREMENTAL dedup (round 6): the continuous-crawl pattern — a new
+    // batch (the deterministic doc_id%10=7 slice, same slicing idiom as
+    // decontam_ngram's eval split) is deduped AGAINST the existing
+    // corpus and only genuinely-new documents survive. Keyed on the
+    // bag-of-words normalization sha (sorted distinct word set — the
+    // canonical pre-hash normalization; raw text has no exact dups in
+    // this corpus, the bag key collides for word-order shuffles) via
+    // LEFT ANTI join. Scale shape: both sides reduce to a narrow
+    // (key[, id]) projection before the anti join shuffles on the
+    // high-cardinality key; at production scale (corpus >> batch) the
+    // corpus side would take a bloom pre-filter built from the batch
+    // keys (the join_bloom_prune pattern) so the full corpus never
+    // shuffles for a small increment.
+    "dedup_incremental" -> Q.withOracle(
+      """WITH k AS (SELECT doc_id, sha256(array_to_string(
+        |    list_sort(list_distinct(string_split(text, ' '))), ' ')) AS nsha
+        |  FROM documents)
+        |SELECT doc_id, nsha FROM k n
+        |WHERE doc_id % 10 = 7 AND NOT EXISTS (
+        |  SELECT 1 FROM k c WHERE c.doc_id % 10 <> 7 AND c.nsha = n.nsha)"""
+        .stripMargin)(
+      (s, d) => {
+        val keyed = t(s, d, "documents").select(col("doc_id"),
+          sha2(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))), 256)
+            .as("nsha"))
+        keyed.filter(col("doc_id") % 10 === 7)
+          .join(keyed.filter(col("doc_id") % 10 =!= 7).select("nsha"),
+            Seq("nsha"), "left_anti")
+          .select("doc_id", "nsha")
+      }),
+
     // SUB-DOCUMENT dedup (round 6): explode each doc into consecutive
     // non-overlapping word spans and keep the FIRST occurrence of every
     // distinct span content — the line/paragraph-level pass of

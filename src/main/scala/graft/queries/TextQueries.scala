@@ -209,6 +209,34 @@ object TextQueries {
           .agg(sum(col("ts_micro")).as("bm25_micro"))
       }),
 
+    // Context-window chunking with overlap (round 6): split every doc
+    // into word windows of width 6 at stride 4 (2-word overlap, the
+    // tail chunk may be shorter) — the training-data prep step that
+    // turns long documents into model-context-sized pieces. Entirely
+    // builtin codegen functions (sequence → posexplode → slice →
+    // concat_ws): a pure per-row explode, no shuffle at any scale, and
+    // output size is a predictable len/stride multiple of the input.
+    // Production sizes are token-based (e.g. 2048/1536); 6/4 exercises
+    // every boundary case on the 10–99-word synthetic docs.
+    "text_chunk_overlap" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 4)) AS gs FROM w)
+        |SELECT doc_id, CAST((gs - 1) // 4 AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[gs : least(gs + 5, len(ws))], ' ') AS chunk,
+        |  CAST(least(gs + 5, len(ws)) - gs + 1 AS BIGINT) AS n_words
+        |FROM g""".stripMargin)(
+      (s, d) => {
+        val withWs = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        withWs
+          .select(col("doc_id"), col("ws"),
+            posexplode(sequence(lit(1), size(col("ws")), lit(4))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("ws"), col("col"), lit(6))).as("chunk"),
+            size(slice(col("ws"), col("col"), lit(6))).cast("long")
+              .as("n_words"))
+      }),
+
     // document fingerprinting via the native Catalyst expressions
     // (fingerprint64 = FNV content hash; rolling_min_hash64 = winnowing
     // rolling hash) — no DuckDB equivalent, covered by unit tests

@@ -57,6 +57,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(capped.values.forall(_._2.length == 100))
   }
 
+  test("text_chunk_overlap: stride-4 width-6 windows; full word coverage") {
+    import spark.implicits._
+    val got = tq("text_chunk_overlap").as[(Long, Long, String, Long)]
+      .collect().toSet
+    val expect = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 until ws.length by 4).zipWithIndex.map { case (start, idx) =>
+        val chunk = ws.slice(start, start + 6)
+        (id, idx.toLong, chunk.mkString(" "), chunk.length.toLong)
+      }
+    }.toSet
+    assert(got == expect)
+    // overlap rule: stride < width, so chunk k shares its last 2 words
+    // with chunk k+1's first 2 (except truncated tails)
+    val full = got.filter(_._4 == 6)
+    assert(full.nonEmpty && got.exists(_._4 < 6),
+      "corpus must exercise both full and truncated-tail chunks")
+  }
+
+  test("dedup_incremental: batch survivors have no bag-key twin in corpus") {
+    import spark.implicits._
+    val got = queries.DedupQueries.entries("dedup_incremental").fn(spark, d)
+      .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+    val normKey = (t: String) => t.split(" ", -1).distinct.sorted.mkString(" ")
+    val corpusKeys = docs.filter(_._1 % 10 != 7).map(x => normKey(x._2)).toSet
+    val expect = docs.filter(_._1 % 10 == 7)
+      .filter(x => !corpusKeys(normKey(x._2))).map(_._1).toSet
+    assert(got.keySet == expect)
+    val batchSize = docs.count(_._1 % 10 == 7)
+    assert(got.size < batchSize, "some batch doc must be a corpus near-dup")
+  }
+
   test("text_bm25: matches a local recompute (fixed-point micro sum)") {
     import spark.implicits._
     val got = tq("text_bm25").as[(Long, Long)].collect().toMap
