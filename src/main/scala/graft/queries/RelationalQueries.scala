@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.XorDigest
+import graft.functions.{SpaceSaving, XorDigest}
 import Tables.t
 
 /** SURVEY §2.1–§2.6 operator demonstrations over the driver testdata,
@@ -266,6 +266,23 @@ object RelationalQueries {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(XorDigest(col("l_orderkey") * lit(2654435761L) + col("l_linenumber")).as("digest"))),
+
+    // Heavy hitters via the SpaceSaving sketch UDAF (round 6): term
+    // frequencies from a capacity-64 summary. The 31-word synthetic
+    // vocab sits UNDER the capacity, so no eviction can fire on any
+    // update or merge path and the sketch is provably exact here —
+    // which is what lets an approximate-by-design operator carry a
+    // bit-exact DuckDB oracle (the under-capacity property the spec
+    // also pins; the over-capacity N/k error bound is property-tested
+    // separately on a skewed stream).
+    "agg_heavyhitters" -> Q.withOracle(
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS cnt FROM w GROUP BY 1""".stripMargin)(
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(SpaceSaving(64)(col("term")).as("m"))
+        .select(explode(col("m")).as(Seq("term", "cnt")))),
 
     // W1: row_number top-1 with total-order tiebreak
     "win_rownum" -> Q.withOracle(
