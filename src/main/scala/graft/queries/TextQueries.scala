@@ -209,6 +209,41 @@ object TextQueries {
           .agg(sum(col("ts_micro")).as("bm25_micro"))
       }),
 
+    // Unigram log-probability scoring (round 6): the LM-perplexity
+    // proxy of CCNet-style quality filtering — score each document by
+    // the sum of ln P(w) under a unigram model fit on the corpus
+    // itself (production uses a held-out KenLM; the Spark shape is
+    // identical). Scale shape: the model is vocabulary-sized (one
+    // count per distinct term — broadcast), the corpus stats are one
+    // row, and the scoring pass is one explode + broadcast join +
+    // map-side-combined sum. Determinism: per-word ln values are
+    // rounded to integer micros BEFORE the per-doc sum (the BM25 /
+    // pagerank fixed-point idiom), so parallel addition order cannot
+    // move the hash.
+    "text_unigram_logprob" -> Q.withOracle(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |u AS (SELECT term, count(*) AS cnt FROM w GROUP BY 1),
+        |g AS (SELECT count(*) AS tot FROM w)
+        |SELECT w.doc_id, count(*) AS n_words,
+        |  CAST(sum(CAST(round(ln(CAST(u.cnt AS DOUBLE) / CAST(g.tot AS DOUBLE))
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS lp_micro
+        |FROM w JOIN u USING (term) CROSS JOIN g
+        |GROUP BY 1""".stripMargin)(
+      (s, d) => {
+        val w = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val u = w.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val g = w.agg(count(lit(1)).as("tot"))
+        w.join(broadcast(u), "term")
+          .crossJoin(broadcast(g))
+          .select(col("doc_id"),
+            round(log(col("cnt").cast("double") / col("tot").cast("double"))
+              * 1000000).cast("long").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("lp").as("lp_micro"))
+      }),
+
     // Context-window chunking with overlap (round 6): split every doc
     // into word windows of width 6 at stride 4 (2-word overlap, the
     // tail chunk may be shorter) — the training-data prep step that

@@ -89,6 +89,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.size < batchSize, "some batch doc must be a corpus near-dup")
   }
 
+  test("text_unigram_logprob: matches a local unigram model recompute") {
+    import spark.implicits._
+    val got = tq("text_unigram_logprob").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val allWords = docs.flatMap(_._2.split(" ", -1))
+    val cnt = allWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = allWords.length.toDouble
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> (ws.length.toLong,
+        ws.map(w => math.round(math.log(cnt(w) / tot) * 1000000)).sum)
+    }.toMap
+    assert(got == expect)
+    // log-probs are strictly negative and rarer-word docs score lower
+    assert(got.values.forall(_._2 < 0))
+  }
+
   test("text_bm25: matches a local recompute (fixed-point micro sum)") {
     import spark.implicits._
     val got = tq("text_bm25").as[(Long, Long)].collect().toMap
