@@ -112,12 +112,17 @@ object TextQueries {
     // Inverted-index build (round 6): term → document-frequency + the
     // first-100-doc_ids posting list — the search-index primitive over
     // a corpus. df is EXACT (map-side-combined count over distinct
-    // (doc,term) pairs); the posting cap is computed with a
-    // per-partition top-k COMBINER (each task keeps ≤100 smallest ids
-    // per term in a bounded TreeSet, the final merge sees ≤100×P rows
-    // per term — bounded by parallelism, not data), so a stopword term
-    // never funnels its full posting list through one task the way a
-    // row_number-per-term window would (the mix-dimension trap again).
+    // (doc,term) pairs). The posting cap rides Catalyst's
+    // WindowGroupLimit rewrite (Spark 3.5+): the `row_number ≤ 100`
+    // filter is pushed BELOW the shuffle as a Partial group-limit over
+    // a spillable local sort, so each map task emits ≤ 100 rows per
+    // term and the exchange sees ≤ 100×P rows per term — bounded by
+    // parallelism, not data: a stopword's corpus-sized posting list
+    // never funnels through one task, and task memory stays flat even
+    // with millions of distinct terms per partition (the reason this
+    // beats a hand-rolled per-partition top-k map combiner, whose
+    // state grows with the partition's vocabulary). Plan shape is
+    // spec-asserted (Partial WindowGroupLimit below the Exchange).
     "text_inverted_index" -> Q.withOracle(
       """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents)
@@ -125,30 +130,17 @@ object TextQueries {
         |  (list(doc_id ORDER BY doc_id))[1:100] AS postings
         |FROM w GROUP BY term""".stripMargin)(
       (s, d) => {
-        import s.implicits._
-        import scala.jdk.CollectionConverters._
         val pairs = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .distinct()
         val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-        val partial = pairs.select(col("term"), col("doc_id"))
-          .as[(String, Long)]
-          .mapPartitions { it =>
-            val best = scala.collection.mutable.Map
-              .empty[String, java.util.TreeSet[java.lang.Long]]
-            it.foreach { case (term, id) =>
-              val set = best.getOrElseUpdate(term,
-                new java.util.TreeSet[java.lang.Long]())
-              set.add(id)
-              if (set.size > 100) set.pollLast() // keep the 100 smallest
-            }
-            best.iterator.map { case (term, set) =>
-              (term, set.asScala.toArray.map(_.longValue))
-            }
-          }.toDF("term", "part_postings")
-        val postings = partial.groupBy("term")
-          .agg(slice(sort_array(flatten(collect_list(col("part_postings")))),
-            1, 100).as("postings"))
+        val byTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy("doc_id")
+        val postings = pairs
+          .withColumn("rn", row_number().over(byTerm))
+          .filter(col("rn") <= 100)
+          .groupBy("term")
+          .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
         dfCounts.join(postings, "term")
       }),
 

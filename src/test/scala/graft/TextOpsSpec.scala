@@ -55,6 +55,13 @@ class TextOpsSpec extends SparkTestBase {
     val capped = got.filter(_._2._1 > 100)
     assert(capped.nonEmpty, "tiny-sf corpus must have a term with df > 100")
     assert(capped.values.forall(_._2.length == 100))
+    // the 100 TB contract: the row_number<=100 filter must run as a
+    // PARTIAL WindowGroupLimit below the exchange, so a stopword's
+    // corpus-sized posting list never crosses one task
+    val plan = queries.TextQueries.entries("text_inverted_index")
+      .fn(spark, d01).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a Partial WindowGroupLimit:\n$plan")
   }
 
   test("text_chunk_overlap: stride-4 width-6 windows; full word coverage") {
