@@ -375,6 +375,59 @@ object KgQueries {
     // fixed-width-padded so string order == numeric order in both
     // engines.
     "cc_components" -> Q.withOracle(ccOracleSql)((s, d) =>
-      Canonicalize.connectedComponents(eventChainEdges(s, d)))
+      Canonicalize.connectedComponents(eventChainEdges(s, d))),
+
+    // KG edge weighting (round 6): pointwise mutual information over
+    // within-document term co-occurrence (Church & Hanks '90) — the
+    // classic signal for promoting a co-mention to a typed KG edge.
+    // Shape: per-doc DISTINCT terms (array_distinct per row — no dedup
+    // shuffle), pair-gen by a self-join keyed on high-cardinality doc_id
+    // (never the mix-dimension trap), one map-side-combined pair count,
+    // then vocabulary-sized doc-frequency + 1-row corpus stats join in
+    // as BROADCASTs. The c12 >= 5 support floor is applied BEFORE the
+    // stats joins. PMI = ln(N·c12 / (c1·c2)) rounded to integer micros
+    // (the BM25/unigram ln idiom, proven bit-stable vs DuckDB).
+    // 100 TB note: per-doc pair-gen is quadratic in distinct terms per
+    // doc; production caps the per-doc term set (top-k by tf, the same
+    // discipline as the LSH bucket caps) — the synthetic docs are <=99
+    // words so the cap is not load-bearing here and is left out of the
+    // oracled plan.
+    "kg_cooccur_pmi" -> Q.withOracle(
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |u AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |g AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+        |p AS (SELECT a.word AS w1, b.word AS w2, count(*) AS c12
+        |      FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+        |      GROUP BY 1, 2)
+        |SELECT p.w1, p.w2, p.c12,
+        |  CAST(round(ln(CAST(g.n AS DOUBLE) * p.c12
+        |                  / (u1.c * CAST(u2.c AS DOUBLE))) * 1000000)
+        |       AS BIGINT) AS pmi_micro
+        |FROM p JOIN u u1 ON p.w1 = u1.word JOIN u u2 ON p.w2 = u2.word
+        |CROSS JOIN g
+        |WHERE p.c12 >= 5""".stripMargin)(
+      (s, d) => {
+        val w = t(s, d, "documents").select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
+        val pairs = w.as("a").join(w.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.word") < col("b.word"))
+          .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val u = w.groupBy("word").agg(count(lit(1)).as("c"))
+        val g = w.agg(countDistinct("doc_id").as("n"))
+        pairs
+          .join(broadcast(u.withColumnRenamed("word", "w1")
+            .withColumnRenamed("c", "c1")), "w1")
+          .join(broadcast(u.withColumnRenamed("word", "w2")
+            .withColumnRenamed("c", "c2")), "w2")
+          .crossJoin(broadcast(g))
+          .select(col("w1"), col("w2"), col("c12"),
+            round(log(col("n").cast("double") * col("c12")
+                / (col("c1") * col("c2").cast("double"))) * 1000000)
+              .cast("long").as("pmi_micro"))
+      })
   )
 }

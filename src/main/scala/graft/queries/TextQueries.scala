@@ -264,6 +264,57 @@ object TextQueries {
               .as("n_words"))
       }),
 
+    // PII redaction (round 6): the C4/RefinedWeb-style scrubbing pass —
+    // replace emails and phone numbers with typed placeholder tokens and
+    // count what was removed. The synthetic corpus carries no PII, so
+    // both engines first derive the SAME deterministic PII-bearing view
+    // (doc_id%3 emails built from the content sha, a phone on even ids)
+    // and then redact it — the oracle therefore genuinely exercises the
+    // regexes (counts vary 0–2 / 0–1 per row), not a vacuous zero-match
+    // pass. Scale shape: a pure per-row regexp_replace/extract_all pass,
+    // zero shuffle at any corpus size, entirely codegen'd string ops.
+    // Regexes stay inside the RE2 ∩ java.util.regex common subset
+    // (character classes + bounded quantifiers, no backrefs/lookaround)
+    // so the two engines cannot disagree on a match.
+    "text_pii_redact" -> Q.withOracle(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' ' ||
+        |    repeat('u' || substr(sha256(text), 1, 6) || '@ex.com ',
+        |           CAST(doc_id % 3 AS INT)) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(pii_text, '555-[0-9][0-9][0-9][0-9]')) AS n_phones,
+        |  regexp_replace(regexp_replace(pii_text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |      '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin)(
+      (s, d) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+        val phoneRe = "555-[0-9][0-9][0-9][0-9]"
+        val pii = concat(col("text"), lit(" "),
+          expr("repeat(concat('u', substr(sha2(text, 256), 1, 6), '@ex.com '), " +
+            "CAST(doc_id % 3 AS INT))"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(""))
+        t(s, d, "documents")
+          .select(col("doc_id"), pii.as("pii_text"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+              .as("n_phones"),
+            regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+      }),
+
     // document fingerprinting via the native Catalyst expressions
     // (fingerprint64 = FNV content hash; rolling_min_hash64 = winnowing
     // rolling hash) — no DuckDB equivalent, covered by unit tests

@@ -137,4 +137,59 @@ class TextOpsSpec extends SparkTestBase {
     // set containing 'dup' should include a top scorer
     assert(expect.nonEmpty && expect.values.max > 0)
   }
+
+  test("text_pii_redact: matches a local regex recompute; no Exchange") {
+    import spark.implicits._
+    val q = tq("text_pii_redact")
+    val got = q.as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+".r
+    val phoneRe = "555-[0-9][0-9][0-9][0-9]".r
+    val expect = docs.map { case (id, t) =>
+      val email = "u" + sha256hex(t).take(6) + "@ex.com "
+      val pii = t + " " + email * (id % 3).toInt +
+        (if (id % 2 == 0) "call 555-" + f"${id % 10000}%04d" else "")
+      val red = phoneRe.replaceAllIn(
+        emailRe.replaceAllIn(pii, "<EMAIL>"), "<PHONE>")
+      id -> (emailRe.findAllIn(pii).size, phoneRe.findAllIn(pii).size, red)
+    }.toMap
+    assert(got == expect)
+    // counts genuinely vary — the oracle is not a vacuous zero-match pass
+    assert(got.values.map(_._1).toSet == Set(0, 1, 2))
+    assert(got.values.map(_._2).toSet == Set(0, 1))
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "PII redaction is per-row — must not shuffle")
+  }
+
+  test("kg_cooccur_pmi: matches a local recompute; stats joins broadcast") {
+    import spark.implicits._
+    val q = queries.KgQueries.entries("kg_cooccur_pmi").fn(spark, d)
+    val got = q.as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val sets = docs.map { case (id, t) => id -> t.split(" ", -1).distinct }
+    val n = sets.map(_._1).distinct.length.toLong
+    val dfc = sets.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val expect = sets
+      .flatMap { case (_, ws) =>
+        for (a <- ws; b <- ws if a < b) yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5)
+      .map { case ((w1, w2), c12) =>
+        val pmi = math.log(n.toDouble * c12 / (dfc(w1) * dfc(w2).toDouble))
+        (w1, w2) -> (c12, BigDecimal(pmi * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    assert(got == expect)
+    assert(got.nonEmpty, "support floor must keep some pairs at tiny sf")
+    // doc-frequency and corpus-stat joins must broadcast (vocab-sized)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "PMI stats joins must broadcast")
+  }
 }
