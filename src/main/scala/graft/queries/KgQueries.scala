@@ -428,6 +428,69 @@ object KgQueries {
             round(log(col("n").cast("double") * col("c12")
                 / (col("c1") * col("c2").cast("double"))) * 1000000)
               .cast("long").as("pmi_micro"))
+      }),
+
+    // The production per-doc term cap for PMI, as a real oracled knob
+    // (the dedup_embed_cosine_k16 discipline: a scale parameter is only
+    // trustworthy once a NON-default value is hash-verified, not just
+    // documented). Each doc keeps its top-16 terms by (tf desc, word
+    // asc — a total order, so both engines pick the same set), and the
+    // whole PMI universe (doc frequency, pair counts) is computed over
+    // the capped sets. The row_number ≤ 16 filter rides Catalyst's
+    // WindowGroupLimit rewrite partitioned on HIGH-CARDINALITY doc_id
+    // (never the mix-dimension trap), so pair-gen cost is O(n·16²)
+    // regardless of per-doc vocabulary — the bound that makes PMI safe
+    // on 100k-unique-token documents. At the 31-word synthetic vocab
+    // the cap genuinely binds (docs reach 31 distinct terms —
+    // spec-asserted), so the oracle verifies the pruning, not an
+    // identity pass.
+    "kg_cooccur_pmi_cap" -> Q.withOracle(
+      """WITH c AS (SELECT doc_id, word, count(*) AS tf FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents) GROUP BY 1, 2),
+        |w AS (SELECT doc_id, word FROM (
+        |      SELECT doc_id, word,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tf DESC, word) AS rn
+        |      FROM c) WHERE rn <= 16),
+        |u AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |g AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+        |p AS (SELECT a.word AS w1, b.word AS w2, count(*) AS c12
+        |      FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+        |      GROUP BY 1, 2)
+        |SELECT p.w1, p.w2, p.c12,
+        |  CAST(round(ln(CAST(g.n AS DOUBLE) * p.c12
+        |                  / (u1.c * CAST(u2.c AS DOUBLE))) * 1000000)
+        |       AS BIGINT) AS pmi_micro
+        |FROM p JOIN u u1 ON p.w1 = u1.word JOIN u u2 ON p.w2 = u2.word
+        |CROSS JOIN g
+        |WHERE p.c12 >= 5""".stripMargin)(
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tf").desc, col("word"))
+        val w = tf.withColumn("rn", row_number().over(byDoc))
+          .filter(col("rn") <= 16).select("doc_id", "word")
+        val pairs = w.as("a").join(w.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.word") < col("b.word"))
+          .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val u = w.groupBy("word").agg(count(lit(1)).as("c"))
+        val g = w.agg(countDistinct("doc_id").as("n"))
+        pairs
+          .join(broadcast(u.withColumnRenamed("word", "w1")
+            .withColumnRenamed("c", "c1")), "w1")
+          .join(broadcast(u.withColumnRenamed("word", "w2")
+            .withColumnRenamed("c", "c2")), "w2")
+          .crossJoin(broadcast(g))
+          .select(col("w1"), col("w2"), col("c12"),
+            round(log(col("n").cast("double") * col("c12")
+                / (col("c1") * col("c2").cast("double"))) * 1000000)
+              .cast("long").as("pmi_micro"))
       })
   )
 }

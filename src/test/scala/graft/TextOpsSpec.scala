@@ -192,4 +192,44 @@ class TextOpsSpec extends SparkTestBase {
       plan.contains("BroadcastNestedLoopJoin"),
       "PMI stats joins must broadcast")
   }
+
+  test("kg_cooccur_pmi_cap: top-16 cap binds and matches a local recompute") {
+    import spark.implicits._
+    val q = queries.KgQueries.entries("kg_cooccur_pmi_cap").fn(spark, d)
+    val got = q.as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // capped universe: per doc, top-16 terms by (tf desc, word asc)
+    val sets = docs.map { case (id, t) =>
+      val top = t.split(" ", -1).groupBy(identity).view
+        .mapValues(_.length).toSeq
+        .sortBy { case (w, f) => (-f, w) }.take(16).map(_._1)
+      id -> top
+    }
+    assert(docs.exists(_._2.split(" ", -1).distinct.length > 16),
+      "fixture must contain a doc where the cap actually prunes")
+    val n = sets.length.toLong
+    val dfc = sets.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val expect = sets
+      .flatMap { case (_, ws) => for (a <- ws; b <- ws if a < b) yield (a, b) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5)
+      .map { case ((w1, w2), c12) =>
+        val pmi = math.log(n.toDouble * c12 / (dfc(w1) * dfc(w2).toDouble))
+        (w1, w2) -> (c12, BigDecimal(pmi * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    assert(got == expect)
+    // the cap is not an identity pass: pair support can only shrink
+    val uncapped = queries.KgQueries.entries("kg_cooccur_pmi").fn(spark, d)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet.forall(k => got(k)._1 <= uncapped.getOrElse(k, 0L)),
+      "capped pair support must never exceed uncapped")
+    assert(got.size < uncapped.size, "cap must prune some pairs at vocab 31")
+    // the rank filter must ride WindowGroupLimit (partial below the
+    // exchange) — the property that bounds pair-gen on huge-vocab docs
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "top-16 cap must plan as a WindowGroupLimit")
+  }
 }
