@@ -471,6 +471,12 @@ object KgQueries {
           .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val byDoc = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("tf").desc, col("word"))
+        // w feeds four plan positions (both pair-gen sides, doc-freq,
+        // corpus stats) and is recomputed per reference — LINEAR 4×
+        // duplication, not the 3^k CTE trap; production would
+        // localCheckpoint it, which is deliberately NOT done here so the
+        // WindowGroupLimit stays visible in the executed plan for the
+        // spec/PLANS.md assertions (a checkpoint truncates the plan).
         val w = tf.withColumn("rn", row_number().over(byDoc))
           .filter(col("rn") <= 16).select("doc_id", "word")
         val pairs = w.as("a").join(w.as("b"),
