@@ -148,40 +148,75 @@ object Bench {
   def materializeCorpora(s: SparkSession, nFiles: Int): (String, String) = {
     val corpusDir = s"/tmp/graft_bench_corpus_$nFiles"
     val skewDir = s"/tmp/graft_bench_corpus_skew_$nFiles"
-    // cache validity = the _SUCCESS marker, not the directory: a run
-    // killed mid-write (the rc=124 scenario) leaves a partial dir that
-    // a bare exists() would silently reuse — and the skew corpus below
-    // would then be derived from the same truncated input
-    if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
-      import s.implicits._
-      // write-to-temp + atomic rename (round-6, per advice): two
-      // processes sharing an nFiles value (Bench + SkewBuild, parallel
-      // test runs) could otherwise race between the _SUCCESS check and
-      // the overwrite, or read a half-written dir
-      val tmpDir = s"$corpusDir.tmp.${ProcessHandle.current().pid()}"
-      s.range(nFiles).repartition(64)
-        .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
-        .toDF().write.mode("overwrite").parquet(tmpDir)
-      publishDir(tmpDir, corpusDir)
-    }
-    // scope the row-group override to this one write: hadoopConfiguration
-    // is session-global, and leaving 4 MB set would silently degrade any
-    // later parquet write through the same session
-    val hconf = s.sparkContext.hadoopConfiguration
-    val prevBlockSize = hconf.get("parquet.block.size")
-    hconf.setInt("parquet.block.size", 4 * 1024 * 1024)
+    // Serialize every builder of this nFiles on this host under an
+    // exclusive file lock: publishDir's check-then-delete was otherwise
+    // a TOCTOU hole (two processes both miss _SUCCESS, the loser's
+    // rmTree deletes the winner's just-published complete dir), and the
+    // skew swap below briefly unlinks the live dir. Builders block each
+    // other for the ~4 s build; CONCURRENT TIMED RUNS on one host stay
+    // unsupported (they would corrupt each other's timings by CPU
+    // contention regardless of filesystem safety).
+    val lockFile = new java.io.RandomAccessFile(
+      s"/tmp/graft_bench_corpus_$nFiles.lock", "rw")
+    val flock = lockFile.getChannel.lock()
     try {
-      val skewTmp = s"$skewDir.tmp.${ProcessHandle.current().pid()}"
-      s.read.parquet(corpusDir)
-        .repartition(col("repo"))
-        .write.mode("overwrite").parquet(skewTmp)
-      rmTree(new java.io.File(skewDir))
-      publishDir(skewTmp, skewDir)
+      // sweep tmp/graveyard dirs abandoned by killed runs (the rc=124
+      // scenario leaked pid-named multi-hundred-MB dirs forever); safe
+      // under the lock — no other builder can be mid-write
+      sweepStale(corpusDir); sweepStale(skewDir)
+      // cache validity = the _SUCCESS marker, not the directory: a run
+      // killed mid-write leaves a partial dir that a bare exists() would
+      // silently reuse — and the skew corpus below would then be derived
+      // from the same truncated input
+      if (!new java.io.File(corpusDir, "_SUCCESS").exists()) {
+        import s.implicits._
+        // write-to-temp + atomic rename: never expose a half-written dir
+        val tmpDir = s"$corpusDir.tmp.${ProcessHandle.current().pid()}"
+        s.range(nFiles).repartition(64)
+          .mapPartitions(_.map(i => fixtures.CorpusGen.genFile(i.toInt, nFiles)))
+          .toDF().write.mode("overwrite").parquet(tmpDir)
+        publishDir(tmpDir, corpusDir)
+      }
+      // scope the row-group override to this one write: hadoopConfiguration
+      // is session-global, and leaving 4 MB set would silently degrade any
+      // later parquet write through the same session
+      val hconf = s.sparkContext.hadoopConfiguration
+      val prevBlockSize = hconf.get("parquet.block.size")
+      hconf.setInt("parquet.block.size", 4 * 1024 * 1024)
+      try {
+        val skewTmp = s"$skewDir.tmp.${ProcessHandle.current().pid()}"
+        s.read.parquet(corpusDir)
+          .repartition(col("repo"))
+          .write.mode("overwrite").parquet(skewTmp)
+        // swap, don't delete-then-publish: rename the old dir aside
+        // (atomic) so the absent window is two renames, not a full
+        // recursive delete of the live corpus
+        val grave = new java.io.File(
+          s"$skewDir.old.${ProcessHandle.current().pid()}")
+        new java.io.File(skewDir).renameTo(grave): Unit
+        publishDir(skewTmp, skewDir)
+        rmTree(grave)
+      } finally {
+        if (prevBlockSize == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", prevBlockSize)
+      }
+      (corpusDir, skewDir)
     } finally {
-      if (prevBlockSize == null) hconf.unset("parquet.block.size")
-      else hconf.set("parquet.block.size", prevBlockSize)
+      flock.release()
+      lockFile.close()
     }
-    (corpusDir, skewDir)
+  }
+
+  /** Delete `<dir>.tmp.*` / `<dir>.old.*` leftovers from killed runs.
+    * Caller must hold the corpus lock.
+    */
+  private def sweepStale(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val base = d.getName
+    Option(d.getParentFile.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(base + ".tmp.") ||
+          f.getName.startsWith(base + ".old.")) rmTree(f)
+    })
   }
 
   private def rmTree(p: java.io.File): Unit = {
@@ -557,7 +592,13 @@ object Bench {
           targetRounds -= 1
         notes += s"reduced_rounds_${before}_to_${targetRounds}_before_round_${rounds28.size + 1}"
       }
-      while (level < 3 && projected(level) > budgetS) {
+      // last-resort rung: only reachable while a round would actually
+      // still run — when the shrink above floored targetRounds at the
+      // completed count, bumping to reps=1 here would record a level-3
+      // degrade that never executes, corrupting the audit trail the
+      // run records are judged by
+      while (level < 3 && targetRounds > rounds28.size &&
+             projected(level) > budgetS) {
         level += 1
         notes += s"degraded_to_level_${level}_before_round_${rounds28.size + 1}"
       }

@@ -19,6 +19,9 @@ object TextQueries {
     * docs), the other two are common — a realistic df spread.
     */
   private val QueryTerms = Seq("spark", "dup", "merge")
+  // interpolated into the BM25 oracle (the swList idiom) so editing the
+  // term set can never silently desynchronize the two engines
+  private val qtList = QueryTerms.map(w => s"'$w'").mkString(", ")
 
   val entries: Map[String, Q] = Map(
 
@@ -93,6 +96,10 @@ object TextQueries {
         t(s, d, "documents").select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .mapPartitions(_.flatMap { case (id, text) =>
+            // NULL text contributes no words in the oracle
+            // (string_split(NULL) → NULL → unnest drops the row); the
+            // typed path must skip it too, not NPE the task
+            if (text == null) Iterator.empty else {
             val counts = new java.util.HashMap[String, Long]()
             var maxCnt = 0L
             var n = 0L
@@ -105,6 +112,7 @@ object TextQueries {
             // the gate itself runs inside the pass — flagged docs only
             if (maxCnt * 10 >= n) Iterator.single((id, maxCnt, n))
             else Iterator.empty
+            }
           })
           .toDF("doc_id", "max_cnt", "n_words")
       }),
@@ -157,13 +165,13 @@ object TextQueries {
     // never routes them through DECIMAL arithmetic. k1=1.2, b=0.75
     // (Robertson–Spärck Jones BM25).
     "text_bm25" -> Q.withOracle(
-      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
         |           FROM documents),
         |g AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, count(*) AS n FROM d),
         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |      FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
-        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |       WHERE term IN ($qtList) GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
         |SELECT tf.doc_id,
         |  CAST(sum(CAST(round(
