@@ -72,40 +72,70 @@ object Canonicalize {
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // ROUND-7 restructure (optimization guide §2.4 — fewer exchanges, no
+    // recomputed subtrees; per-round output SETS are unchanged, so the
+    // fixpoint and the result are bit-identical and CanonicalizeSpec's
+    // union-find/label-prop/partitioning-invariance pins still hold):
+    //  - `raw` is lazily checkpointed ONCE. The caller's edge-build plan
+    //    (LSH blocking, simhash pair-gen, the event-chain window) used to
+    //    run TWICE — once under the contraction seed and once more under
+    //    the final node-set union at the bottom of this function.
+    //  - each star op is ONE exchange (+ a per-partition sort) instead of
+    //    a min-aggregate exchange PLUS a join of the edge set against the
+    //    min table: partitioning by src both orders the group (first(dst)
+    //    in dst order = the min neighbor) and numbers it (row_number()=1
+    //    replaces the old one-row-per-src min table), and a per-row
+    //    2-struct posexplode+filter emits exactly the old output multiset
+    //    inside the same codegen stage — no join, no second shuffle.
+    //  - symmetrization is a 2-struct explode (one pass over the
+    //    checkpoint) instead of a union that scans it twice.
+    // Per round: sym exchange + oriented exchange + round-end distinct =
+    // 3 exchanges; CcProbe measured the old join form at ~6 AQE stage-
+    // jobs per round on sf0.1 (66 jobs / 211 stages for 11 rounds).
+    // The whole-partition window state is the node's neighbor list —
+    // spillable (UnsafeExternalSorter), unlike a collect_list array, so
+    // a mega-hub degrades to disk instead of OOM.
+
+    val raw = edges.select($"src", $"dst").localCheckpoint(eager = false)
 
     // large-star: ∀u, m = min(Γ(u) ∪ {u}); connect every neighbor v > u
-    // to m. Γ over the symmetrized edge set. NO trailing distinct: the
-    // output may carry duplicate pairs, but it cannot GROW (the min
-    // table m is unique per src, so the join emits ≤ |sym| + |m| rows),
-    // and small-star's groupBy/join are duplicate-insensitive — its
-    // round-end distinct restores set semantics where it matters (the
-    // checkpointed + signatured frame). Saves one full shuffle of the
-    // edge set per round; per-round stage latency dominates on small
-    // graphs and shuffle volume on large ones — this trims both.
+    // to m (Γ over the symmetrized edge set), plus (u, m) once per u.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select($"src", $"dst")
-        .unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      val sym = e.select(explode(array(
+          struct($"src".as("s"), $"dst".as("d")),
+          struct($"dst".as("s"), $"src".as("d")))).as("x"))
+        .select($"x.s".as("src"), $"x.d".as("dst"))
         .where($"src" =!= $"dst")
-      val m = sym.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src", least($"mn", $"src").as("m"))
-      sym.join(m, "src")
-        .where($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .unionAll(m.select($"src", $"m".as("dst")))
+      val w = Window.partitionBy($"src").orderBy($"dst")
+      sym.withColumn("m", least(first($"dst").over(w), $"src"))
+        .withColumn("rn", row_number().over(w))
+        .select($"src", $"dst", $"rn",
+          posexplode(array(struct($"dst".as("n"), $"m".as("c")),
+            struct($"src".as("n"), $"m".as("c")))).as(Seq("pos", "x")))
+        .where(($"pos" === 0 && $"dst" > $"src") ||
+          ($"pos" === 1 && $"rn" === 1))
+        .select($"x.n".as("src"), $"x.c".as("dst"))
         .where($"src" =!= $"dst")
     }
 
-    // small-star: orient every edge max→min; ∀u, m = min(N(u) ∪ {u});
-    // connect every smaller neighbor (and u itself) to m.
+    // small-star: orient every edge max→min; ∀u, m = min(N(u) ∪ {u})
+    // (= min(dst) — every oriented dst < u); connect every smaller
+    // neighbor ≠ m (and u itself) to m.
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(
         greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
         .where($"src" =!= $"dst")
-      val m = oriented.groupBy($"src").agg(min($"dst").as("m"))
-      oriented.join(m, "src")
-        .where($"dst" =!= $"m")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .unionAll(m.select($"src", $"m".as("dst")))
+      val w = Window.partitionBy($"src").orderBy($"dst")
+      oriented.withColumn("m", first($"dst").over(w))
+        .withColumn("rn", row_number().over(w))
+        .select($"src", $"dst", $"rn", $"m",
+          posexplode(array(struct($"dst".as("n"), $"m".as("c")),
+            struct($"src".as("n"), $"m".as("c")))).as(Seq("pos", "x")))
+        .where(($"pos" === 0 && $"dst" =!= $"m") ||
+          ($"pos" === 1 && $"rn" === 1))
+        .select($"x.n".as("src"), $"x.c".as("dst"))
         .where($"src" =!= $"dst")
         .distinct()
     }
@@ -125,7 +155,7 @@ object Canonicalize {
     // duplicate the un-materialized input subtree ~3^k times and the
     // optimizer/codegen cost explodes (measured: a 2-alternation
     // "double-step" made the round SLOWER, not faster).
-    var cur = edges.select($"src", $"dst").where($"src" =!= $"dst")
+    var cur = raw.where($"src" =!= $"dst")
       .distinct().localCheckpoint(eager = false)
     // carry the signature forward: the previous round's sig(next) is
     // this round's sig(cur)
@@ -141,9 +171,11 @@ object Canonicalize {
       iter += 1
     }
     require(converged, s"star-contraction CC did not converge in $maxIters rounds")
-    // cur is now a forest of stars root←node; roots map to themselves
-    val nodes = edges.select($"src".as("node"))
-      .unionAll(edges.select($"dst".as("node"))).distinct()
+    // cur is now a forest of stars root←node; roots map to themselves.
+    // Node set from the checkpointed raw projection (NOT the caller's
+    // plan — see the `raw` note above).
+    val nodes = raw.select($"src".as("node"))
+      .unionAll(raw.select($"dst".as("node"))).distinct()
     nodes.join(cur.select($"src".as("node"), $"dst".as("comp")), Seq("node"), "left")
       .select($"node", coalesce($"comp", $"node").as("comp"))
   }

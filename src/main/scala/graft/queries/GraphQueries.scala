@@ -98,18 +98,35 @@ object GraphQueries {
     * e0 CTE).
     */
   private[queries] def coEdges(s: SparkSession, d: String): DataFrame = {
-    val op = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val w = Window.partitionBy("o").orderBy("p")
-    val capped = op.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10).select("o", "p")
-    capped.alias("a").join(capped.alias("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    // ROUND-7 (guide §2.4): the old shape was distinct(o,p) [exchange on
+    // (o,p)] → row_number window [exchange on o] → self-join on o →
+    // distinct — ~3 full exchanges plus a join, and the whole subtree was
+    // then UNION-duplicated by symmetric(). Now ONE exchange on
+    // l_orderkey builds the per-order sorted distinct part set
+    // (collect_set dedupes inside the aggregate), slice(…,1,10) is
+    // exactly the old rk<=10 cap (first 10 in part order), and pair-gen
+    // is a per-row array comprehension — src<dst by construction, no
+    // join. Per-group state is bounded: TPC-H orders carry <=7 lineitems.
+    // Output set is identical (sorted distinct top-10 per order, all
+    // i<j pairs, trailing distinct across orders).
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, 10).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, 10)," +
+          " y -> named_struct('src', x, 'dst', y))))")).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
   }
 
+  /** Symmetrize in ONE pass over the input: a 2-struct explode instead of
+    * a union whose two branches would plan (and, un-checkpointed, run)
+    * the edge-build subtree twice (round 7; guide §2.4).
+    */
   private def symmetric(e0: DataFrame): DataFrame =
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("x"))
+      .select(col("x.s").as("src"), col("x.d").as("dst"))
 
   /** The production-shaped open-ended PageRank loop the oracled key's
     * fixed 3-iteration unroll stands in for: the SAME integer
@@ -133,13 +150,20 @@ object GraphQueries {
     * loop so the two can never drift apart (the DuckDB oracle mirrors
     * this arithmetic in `prIter`).
     */
-  private def prStep(e: DataFrame, deg: DataFrame, pr: DataFrame): DataFrame =
+  private def prStep(e: DataFrame, deg: DataFrame, pr: DataFrame): DataFrame = {
+    // Round 7: per-node share = val div d is computed on the NODE-sized
+    // pr⋈deg join first, so the edge list is joined ONCE per iteration
+    // (the old form ran two edge-sized joins — e⋈pr then (e⋈pr)⋈deg).
+    // Integer arithmetic unchanged: share is constant per src either way.
+    val share = pr.alias("pr")
+      .join(deg.alias("dg"), col("pr.node") === col("dg.node"))
+      .select(col("pr.node").as("node"), expr("val div d").as("share"))
     e.alias("e")
-      .join(pr.alias("pr"), col("e.src") === col("pr.node"))
-      .join(deg.alias("dg"), col("e.src") === col("dg.node"))
-      .select(col("e.dst").as("node"), expr("val div d").as("share"))
+      .join(share, col("e.src") === col("node"))
+      .select(col("e.dst").as("node"), col("share"))
       .groupBy("node")
       .agg((lit(150000L) + expr("(85 * sum(share)) div 100")).as("val"))
+  }
 
   /** CONTRACT (round-6, per advice): `e` must be a SYMMETRIC edge list —
     * every undirected edge present in both directions, as `symmetric`
@@ -216,53 +240,73 @@ object GraphQueries {
 
   /** Iterative k-core peeling (Matula–Beck / Batagelj–Zaveršnik's rule,
     * distributed round-synchronous form): repeatedly drop nodes whose
-    * CURRENT degree is < k until none qualify. Per round: one
-    * map-side-combined degree count plus two shuffle-hash LEFT SEMI
-    * joins restricting the edge list to the survivors (hash the node
-    * set, never sort the edges — the graph_triangles discipline), with
-    * a lazy localCheckpoint truncating lineage per round (the CC
-    * discipline; the keep.count() action materializes it, one job per
-    * round). `e` must be symmetric (same contract as
-    * pagerankConverged). Returns (surviving edges, shrink rounds run).
+    * CURRENT degree is < k until none qualify.
+    *
+    * ROUND-7 shape (guide §2.4; result set unchanged — GraphSpec pins it
+    * against a single-threaded local peel): per round ONE action and TWO
+    * edge-list exchanges, down from the old keep-checkpoint + count +
+    * two shuffle-hash semi-join rounds (~5 AQE stage-jobs and 2 actions
+    * per round):
+    *  - both endpoint degrees ride whole-partition count(*) windows over
+    *    the src- and dst-partitioned edge list (on the contract's
+    *    SYMMETRIC input, dst-partition degree == the old src-degree of
+    *    dst), so the survivor filter is a per-row predicate — no keep
+    *    table, no joins;
+    *  - the windowed frame is lazily checkpointed and ONE aggregate
+    *    computes (total, survivors) in the same job that materializes
+    *    it; survivors == total means this round's filter is a no-op —
+    *    the fixed point — detected BEFORE rewriting, exactly like the
+    *    old keep-count test (edges shrink monotonically, so an unchanged
+    *    count is an unchanged set).
+    * Window state per partition is the node's incident-edge group —
+    * spillable (UnsafeExternalSorter), so a mega-hub degrades to disk,
+    * not OOM. `e` must be symmetric (same contract as
+    * pagerankConverged). Returns (surviving edges, shrink rounds run);
+    * an already-k-core input reports 0 rounds (the old form counted its
+    * first no-op rewrite as 1 — GraphSpec's sf0.001 pin of 3 effective
+    * shrink rounds is unchanged).
     */
   def kcorePeel(e: DataFrame, k: Int,
                 maxRounds: Int = 30): (DataFrame, Int) = {
+    val wS = Window.partitionBy("src")
+    val wD = Window.partitionBy("dst")
     var edges = e.localCheckpoint(eager = false)
-    var prevN = -1L
     var shrink = 0
     var done = false
     while (!done) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("node"))
+      val marked = edges
+        .withColumn("ds", count(lit(1)).over(wS))
+        .withColumn("dd", count(lit(1)).over(wD))
+        .withColumn("keep", col("ds") >= k && col("dd") >= k)
         .localCheckpoint(eager = false)
-      val n = keep.count()
-      // monotone peel: node sets are nested, so an unchanged COUNT means
-      // an unchanged SET — the fixed point
-      if (n == prevN || shrink >= maxRounds) done = true
+      val row = marked.agg(count(lit(1)),
+        count(when(col("keep"), lit(1)))).first()
+      val (total, kept) = (row.getLong(0), row.getLong(1))
+      if (kept == total || shrink >= maxRounds) done = true
       else {
-        edges = edges
-          .join(keep.hint("shuffle_hash"), col("src") === col("node"),
-            "left_semi")
-          .join(keep.hint("shuffle_hash"), col("dst") === col("node"),
-            "left_semi")
-          .localCheckpoint(eager = false)
-        prevN = n
+        // one step of lineage over the (checkpointed) marked frame — no
+        // second checkpoint needed per round
+        edges = marked.filter(col("keep")).select("src", "dst")
         shrink += 1
       }
     }
-    (edges, shrink)
+    (edges.select("src", "dst"), shrink)
   }
 
   val entries: Map[String, Q] = Map(
 
-    // degree centrality — the cheapest "which entities are hubs" answer;
-    // one groupBy over the symmetric edge list.
+    // degree centrality — the cheapest "which entities are hubs" answer.
+    // Round 7: each oriented edge contributes one count to BOTH
+    // endpoints via a 2-element explode (the graph_triangles corner
+    // idiom) — same result as grouping the symmetric list, but the
+    // coEdges subtree appears (and runs) once instead of twice under the
+    // old union.
     "graph_degree" -> Q.withOracle(
       s"""$edgeCte
         |SELECT node, d AS degree FROM deg""".stripMargin)(
-      (s, d) => symmetric(coEdges(s, d))
-        .select(col("src").as("node")).groupBy("node")
-        .agg(count(lit(1)).as("degree"))),
+      (s, d) => coEdges(s, d)
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("degree"))),
 
     // PageRank, 3 unrolled iterations of integer fixed-point arithmetic
     // (state in millionths; share = val div deg, damping 0.85 as
@@ -296,7 +340,11 @@ object GraphQueries {
         |${(1 to PrConvIters).map(prIter).mkString(",\n")}
         |SELECT node, val FROM pr$PrConvIters""".stripMargin)(
       (s, d) => {
-        val (pr, _) = pagerankConverged(symmetric(nationEdges(s, d)),
+        // Round 7: checkpoint the (25-node) edge list once — the loop's
+        // per-iteration job otherwise re-reads nation.parquet and
+        // re-runs the clique/chord build every round.
+        val (pr, _) = pagerankConverged(
+          symmetric(nationEdges(s, d)).localCheckpoint(eager = false),
           tol = 1000L, maxIters = 50)
         pr
       }),
@@ -314,7 +362,13 @@ object GraphQueries {
         |SELECT src AS node, count(*) AS coredeg
         |FROM c$KcoreUnroll GROUP BY 1""".stripMargin)(
       (s, d) => {
-        val (core, _) = kcorePeel(symmetric(coEdges(s, d)), KcoreK)
+        val (core, rounds) = kcorePeel(symmetric(coEdges(s, d)), KcoreK)
+        // fail fast instead of an opaque oracle hash mismatch if an
+        // input ever needs more shrink rounds than the oracle unrolls
+        // (round-7, per ADVICE; the same pin-and-assert discipline as
+        // graph_pagerank_converged)
+        require(rounds <= KcoreUnroll,
+          s"k-core peel took $rounds rounds; oracle unrolls $KcoreUnroll")
         core.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("coredeg"))
       }),
