@@ -346,13 +346,33 @@ object DedupQueries {
         |  SELECT 1 FROM k c WHERE c.doc_id % 10 <> 7 AND c.nsha = n.nsha)"""
         .stripMargin)(
       (s, d) => {
+        // NULL-text guard (round 7, per ADVICE): sha2(concat_ws over a
+        // null array) is sha2("") while DuckDB's sha256(NULL) is NULL —
+        // opposite keep/drop on NULL text. A null key never matches in
+        // either engine's anti-join, aligning the semantics (the
+        // text_repetition convention). No NULL text exists in any SF, so
+        // results are byte-identical today.
         val keyed = t(s, d, "documents").select(col("doc_id"),
-          sha2(concat_ws(" ",
-            array_sort(array_distinct(split(col("text"), " ")))), 256)
+          when(col("text").isNull, lit(null)).otherwise(
+            sha2(concat_ws(" ",
+              array_sort(array_distinct(split(col("text"), " ")))), 256))
             .as("nsha"))
-        keyed.filter(col("doc_id") % 10 === 7)
-          .join(keyed.filter(col("doc_id") % 10 =!= 7).select("nsha"),
-            Seq("nsha"), "left_anti")
+        val batch = keyed.filter(col("doc_id") % 10 === 7)
+        // Bloom pre-filter (round 7, per verdict — the join_bloom_prune
+        // idiom wired into the incremental-dedup key): at production
+        // scale the corpus is >> the batch, so a bloom built from the
+        // BATCH keys drops almost every corpus row before the anti-join
+        // exchange shuffles it. False positives only cost the exact
+        // anti-join a few extra rows; a bloom-dropped corpus row had no
+        // matching batch key, so the result is byte-identical. The
+        // count() sizing job prunes the sha down to a doc_id scan.
+        val nBatch = batch.count()
+        val corpusKeys = keyed.filter(col("doc_id") % 10 =!= 7).select("nsha")
+        val prunedCorpus =
+          if (nBatch == 0) corpusKeys
+          else corpusKeys.filter(graft.functions.BloomOps.mightContainSubquery(
+            batch, col("nsha"), nBatch, col("nsha")))
+        batch.join(prunedCorpus, Seq("nsha"), "left_anti")
           .select("doc_id", "nsha")
       }),
 

