@@ -117,18 +117,23 @@ object DedupQueries {
     * the population bound the knob exists to provide).
     */
   def ivfAssign(e: DataFrame, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
+    // ROUND-7 argmax (guide §2.3 "aggregate before you shuffle"): the
+    // old row_number window shuffled all k candidate rows per vector and
+    // sorted them; max(struct(ccos, -cent_id, …)) is the same
+    // (ccos DESC, cent_id ASC) argmax — -cent_id is unique per group, so
+    // the trailing payload fields are never compared — as a PARTIALLY
+    // AGGREGABLE max: k rows per vector reduce map-side to one before
+    // the exchange.
     e.crossJoin(broadcast(cents))
       .withColumn("ccos", pairCos(col("embedding"), col("cvec"), col("nrm"), col("cnrm")))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"),
+        col("cent_id"), col("embedding"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.nrm").as("nrm"), col("m.cent_id").as("cluster"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by the deterministic IVF
@@ -236,12 +241,14 @@ object DedupQueries {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     def assign(cents: DataFrame): DataFrame = {
-      val wAsg = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      // round-7 partial-aggregable argmax — see ivfAssign
       e.crossJoin(broadcast(cents))
         .withColumn("ccos", expr(sparkCos("emb", "cvec")))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id").as("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"),
+          col("cent_id"), col("emb"))).as("m"))
+        .select(col("vec_id"), col("m.emb").as("emb"),
+          col("m.cent_id").as("cluster"))
     }
     var cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
