@@ -405,12 +405,29 @@ object GraphQueries {
         |SELECT node, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin)(
       (s, d) => {
         val e0 = coEdges(s, d).localCheckpoint(eager = false)
+        // the count() both sizes the bloom below and materializes the
+        // checkpoint the wedge join was about to materialize anyway
+        val nEdges = e0.count()
         val wedges = e0.alias("a")
           .join(e0.alias("b").hint("shuffle_hash"),
             col("a.dst") === col("b.src"))
           .select(col("a.src").as("x"), col("a.dst").as("y"),
             col("b.dst").as("z"))
-        val tri = wedges.join(e0.alias("c").hint("shuffle_hash"),
+        // ROUND-7 (guide §3.2): the closure semi-join's exchange carried
+        // EVERY wedge (~49M rows at sf0.1, the largest shuffle in the
+        // suite) while only closing wedges survive it. A bloom over the
+        // edge pair set — scalar-subquery shape, never a plan literal —
+        // drops definitely-non-closing wedges BEFORE the exchange;
+        // false positives are removed by the exact semi-join, so the
+        // result is unchanged. Bloom cost is ~10 bits/edge (fits
+        // executors up to ~10^9 edges — the guide's stated workable
+        // range; beyond that, split per hash band).
+        val pruned =
+          if (nEdges == 0) wedges
+          else wedges.filter(graft.functions.BloomOps.mightContainSubquery(
+            e0, struct(col("src"), col("dst")), nEdges,
+            struct(col("x"), col("z"))))
+        val tri = pruned.join(e0.alias("c").hint("shuffle_hash"),
           col("x") === col("c.src") && col("z") === col("c.dst"),
           "left_semi")
         tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
