@@ -91,9 +91,22 @@ object Canonicalize {
     //    inside the same codegen stage — no join, no second shuffle.
     //  - symmetrization is a 2-struct explode (one pass over the
     //    checkpoint) instead of a union that scans it twice.
-    // Per round: sym exchange + oriented exchange + round-end distinct =
-    // 3 exchanges; CcProbe measured the old join form at ~6 AQE stage-
-    // jobs per round on sf0.1 (66 jobs / 211 stages for 11 rounds).
+    //  - NO round-end distinct exchange: duplicate (src,dst) rows are
+    //    ADJACENT in each star's (src, dst) window sort, so a lag test
+    //    dedupes them inline — each star's output is a function of its
+    //    input SET, bounded by |E|+n rows regardless of input
+    //    multiplicity, so the un-distincted frames cannot grow round
+    //    over round. Cross-group duplicates (two sources electing the
+    //    same (v,m)) survive a round but are deduped by the next star's
+    //    lag test; one final distinct before the node join restores set
+    //    semantics for the result. The sig fixpoint test now compares
+    //    MULTISETS: one round after the set fixpoint the round map
+    //    reproduces its input multiset exactly (output = F(set) and the
+    //    set is stable), so detection fires at most one round later
+    //    than the old set-based test.
+    // Per round: sym exchange + oriented exchange = 2 exchanges;
+    // CcProbe measured the old join form at ~6 AQE stage-jobs per round
+    // on sf0.1 (66 jobs / 211 stages for 11 rounds).
     // The whole-partition window state is the node's neighbor list —
     // spillable (UnsafeExternalSorter), unlike a collect_list array, so
     // a mega-hub degrades to disk instead of OOM.
@@ -111,10 +124,13 @@ object Canonicalize {
       val w = Window.partitionBy($"src").orderBy($"dst")
       sym.withColumn("m", least(first($"dst").over(w), $"src"))
         .withColumn("rn", row_number().over(w))
-        .select($"src", $"dst", $"rn",
+        // first occurrence of this (src,dst) in the sorted group — the
+        // inline dedup that replaces the round-end distinct
+        .withColumn("fo", $"rn" === 1 || lag($"dst", 1).over(w) =!= $"dst")
+        .select($"src", $"dst", $"rn", $"fo",
           posexplode(array(struct($"dst".as("n"), $"m".as("c")),
             struct($"src".as("n"), $"m".as("c")))).as(Seq("pos", "x")))
-        .where(($"pos" === 0 && $"dst" > $"src") ||
+        .where(($"pos" === 0 && $"dst" > $"src" && $"fo") ||
           ($"pos" === 1 && $"rn" === 1))
         .select($"x.n".as("src"), $"x.c".as("dst"))
         .where($"src" =!= $"dst")
@@ -130,14 +146,14 @@ object Canonicalize {
       val w = Window.partitionBy($"src").orderBy($"dst")
       oriented.withColumn("m", first($"dst").over(w))
         .withColumn("rn", row_number().over(w))
-        .select($"src", $"dst", $"rn", $"m",
+        .withColumn("fo", $"rn" === 1 || lag($"dst", 1).over(w) =!= $"dst")
+        .select($"src", $"dst", $"rn", $"m", $"fo",
           posexplode(array(struct($"dst".as("n"), $"m".as("c")),
             struct($"src".as("n"), $"m".as("c")))).as(Seq("pos", "x")))
-        .where(($"pos" === 0 && $"dst" =!= $"m") ||
+        .where(($"pos" === 0 && $"dst" =!= $"m" && $"fo") ||
           ($"pos" === 1 && $"rn" === 1))
         .select($"x.n".as("src"), $"x.c".as("dst"))
         .where($"src" =!= $"dst")
-        .distinct()
     }
 
     // canonical-pair content digest + count: cheap fixpoint detection
@@ -176,7 +192,10 @@ object Canonicalize {
     // plan — see the `raw` note above).
     val nodes = raw.select($"src".as("node"))
       .unionAll(raw.select($"dst".as("node"))).distinct()
-    nodes.join(cur.select($"src".as("node"), $"dst".as("comp")), Seq("node"), "left")
+    // cur may carry cross-group duplicate pairs (no per-round distinct) —
+    // dedupe ONCE here so the left join cannot multiply output rows
+    nodes.join(cur.select($"src".as("node"), $"dst".as("comp")).distinct(),
+        Seq("node"), "left")
       .select($"node", coalesce($"comp", $"node").as("comp"))
   }
 
